@@ -1,0 +1,222 @@
+"""Solid reaction-force analysis: 3D Tetra10 elasticity pipeline.
+
+Headless equivalent of the reference's `ForceAnalysis`
+(ReactionSolver.py:16-306) with the same constructor contract
+(msh_file, force_data, fix_data, E, v), the same pipeline stages and console
+observability, and the same outputs (u, reactions at snapped fix nodes,
+equilibrium check, negative-detJ quality count) — built on femx's matrix-free
+TPU operator instead of scipy lil/CSR + SuperLU:
+
+  assemble   -> SolidOperator (per-gauss gradients, einsum action; no global
+                sparse matrix is ever formed)
+  small path -> materialized element matrices, dense masked Cholesky
+  large path -> Jacobi-PCG on the constrained matrix-free operator
+
+Quadrature: correct w=1/24 by default; pass
+ReferenceCompat(tet10_quadrature_weight_bug=True) to bit-match the
+reference's 6x-stiffened displacement field (SURVEY.md §6 quirk 1; reactions
+are identical either way since r = K u).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from femx import bc as bc_mod
+from femx.assembly import SolidOperator, assemble_dense, dof_map
+from femx.config import DEFAULT_COMPAT, ReferenceCompat
+from femx.elements import tet10 as tet10_el
+from femx.mesh.core import Mesh, nodes_in_physical_group
+from femx.mesh.msh_io import read_msh
+from femx.solve.cg import pcg
+from femx.solve.dense import solve_dense
+
+
+class SolidReactionAnalysis:
+    """3D solid elasticity with point loads/fixes and reaction recovery."""
+
+    DENSE_DOF_LIMIT = 6000  # below: dense Cholesky; above: matrix-free PCG
+
+    def __init__(
+        self,
+        msh_file: Union[str, Mesh],
+        force_data: Sequence[dict],
+        fix_data: Sequence[dict],
+        E: float,
+        v: float,
+        compat: ReferenceCompat = DEFAULT_COMPAT,
+        dtype=None,
+        solver: str = "auto",
+        cg_tol: float = 1e-10,
+        verbose: bool = True,
+    ):
+        self.msh_file = msh_file
+        self.force_data = list(force_data)
+        self.fix_data = list(fix_data)
+        self.E = float(E)
+        self.v = float(v)
+        self.compat = compat
+        self.dtype = dtype
+        self.solver = solver
+        self.cg_tol = cg_tol
+        self.verbose = verbose
+
+        self.pd = 3
+        self.u: Optional[np.ndarray] = None
+        self.f: Optional[np.ndarray] = None
+        self.reaction_forces: Optional[np.ndarray] = None
+        self.fixed_nodes_info: List[dict] = []
+        self.applied_forces_info: List[dict] = []
+        self.negative_detJ_count = 0
+        self.operator: Optional[SolidOperator] = None
+        self.solve_info: dict = {}
+        self.stage_times: dict = {}
+
+        self._read_mesh()
+        self.C = tet10_el.material_matrix(self.E, self.v)
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+
+    def _read_mesh(self) -> None:
+        self._log("1. Reading mesh file...")
+        t0 = time.perf_counter()
+        self.mesh = self.msh_file if isinstance(self.msh_file, Mesh) else read_msh(self.msh_file)
+        self.points = self.mesh.points
+        self.num_nodes = len(self.points)
+        self.tetra10_conn = self.mesh.cells.get("tetra10")
+        if self.tetra10_conn is None:
+            raise ValueError("Mesh has no 'tetra10' elements.")
+        self.diri_nodes = nodes_in_physical_group(self.mesh, "Diri_BCs", "vertex")
+        self.neumann_nodes = nodes_in_physical_group(self.mesh, "Neumann_BCs", "vertex")
+        self.stage_times["read_mesh"] = time.perf_counter() - t0
+        self._log(f"   - Nodes: {self.num_nodes}, Tetra10 Elements: {len(self.tetra10_conn)}")
+
+    @property
+    def weight(self) -> float:
+        return self.compat.tet10_gauss_weight
+
+    def assemble_stiffness_matrix(self) -> None:
+        """Build the matrix-free operator (and count bad Jacobians)."""
+        self._log("2. Assembling global stiffness operator (matrix-free)...")
+        t0 = time.perf_counter()
+        self.operator, detJ = SolidOperator.from_mesh(
+            self.points, self.tetra10_conn, self.C, weight=self.weight, dtype=self.dtype
+        )
+        self.negative_detJ_count = int(jnp.sum(detJ <= 1e-12))
+        self.stage_times["assemble"] = time.perf_counter() - t0
+        self._log("   - Assembly complete.")
+
+    def apply_boundary_conditions(self) -> None:
+        self._log("3. Applying point-based boundary conditions...")
+        t0 = time.perf_counter()
+        cs = bc_mod.solid_point_constraints(self.mesh, self.fix_data, self.diri_nodes)
+        self.constraints = cs
+        self.fixed_dofs = cs.fixed_dofs
+        self.fixed_nodes_info = cs.fixed_nodes_info
+        self._log(f"   - Fixed {len(self.fixed_dofs)} DOFs.")
+
+        self._log(f"   - Applying {len(self.force_data)} force(s)...")
+        self.f, self.applied_forces_info = bc_mod.solid_point_loads(
+            self.mesh, self.force_data, self.neumann_nodes
+        )
+        for info in self.applied_forces_info:
+            self._log(f"     - Applied force {info['force_vec']} N to node {info['node_idx']}.")
+        self.active_dofs = cs.free_dofs
+        self.stage_times["bc"] = time.perf_counter() - t0
+
+    def solve(self) -> None:
+        self._log("4. Solving the linear system...")
+        t0 = time.perf_counter()
+        ndof = 3 * self.num_nodes
+        free_mask = jnp.asarray(self.constraints.free_mask(), dtype=self.operator.dN.dtype)
+        op = self.operator.with_free_mask(free_mask)
+        self.operator = op
+        f = jnp.asarray(self.f, dtype=op.dN.dtype)
+
+        use_dense = self.solver == "dense" or (self.solver == "auto" and ndof <= self.DENSE_DOF_LIMIT)
+        if use_dense:
+            ke = op.element_stiffness()
+            edofs = dof_map(op.conn, 3)
+            K = assemble_dense(ke, edofs, ndof)
+            u = solve_dense(K, f, free_mask=free_mask)
+            self.solve_info = {"method": "dense_cholesky"}
+        else:
+            minv = 1.0 / op.constrained_diagonal()
+            res = pcg(op.apply_constrained, f * free_mask, M_inv_diag=minv, tol=self.cg_tol)
+            u = res.x
+            self.solve_info = {
+                "method": "jacobi_pcg",
+                "iterations": int(res.iterations),
+                "residual": float(res.residual_norm),
+                "converged": bool(res.converged),
+            }
+        self.u = np.asarray(u)
+        self._log("   - System solved.")
+        self.reaction_forces = np.asarray(op.apply(jnp.asarray(self.u)))
+        self.stage_times["solve"] = time.perf_counter() - t0
+
+    def print_reactions(self) -> None:
+        """Console reaction table + equilibrium check
+        (reference: ReactionSolver.py:207-224)."""
+        if self.reaction_forces is None:
+            return
+        self._log("\n--- Reaction Forces ---")
+        total_reaction = np.zeros(3)
+        for i, info in enumerate(self.fixed_nodes_info):
+            n = info["node_idx"]
+            r = self.reaction_forces[3 * n : 3 * n + 3]
+            total_reaction += r
+            self._log(
+                f"  Node {n} (Fix Point {i + 1}): Rx={r[0]:.4e}, Ry={r[1]:.4e}, Rz={r[2]:.4e} N"
+            )
+        self._log("\n--- Force Equilibrium Check ---")
+        total_applied = np.zeros(3)
+        for item in self.force_data:
+            total_applied += [item["force_x"], item["force_y"], item["force_z"]]
+        self._log(f"  Sum of Applied Forces (Fx, Fy, Fz): {total_applied}")
+        self._log(f"  Sum of Reaction Forces (Rx, Ry, Rz): {-total_reaction}")
+        self.total_applied_force = total_applied
+        self.total_reaction = total_reaction
+
+    def equilibrium_residual(self) -> np.ndarray:
+        """Sum of applied + sum of reactions (should be ~0)."""
+        total_applied = np.zeros(3)
+        for item in self.force_data:
+            total_applied += [item["force_x"], item["force_y"], item["force_z"]]
+        total_reaction = np.zeros(3)
+        for info in self.fixed_nodes_info:
+            n = info["node_idx"]
+            total_reaction += self.reaction_forces[3 * n : 3 * n + 3]
+        return total_applied + total_reaction
+
+    def run_simulation(self, report: bool = False, report_path: str = "FEM_Report.md"):
+        """Full pipeline (reference: ReactionSolver.py:226-232)."""
+        self.assemble_stiffness_matrix()
+        self.apply_boundary_conditions()
+        self.solve()
+        self.print_reactions()
+        if report:
+            self.generate_report(report_path)
+        return self
+
+    def generate_report(self, filename: str = "FEM_Report.md") -> None:
+        self._log(f"\n6. Generating analysis report to {filename}...")
+        from femx.report import solid_report
+
+        solid_report(self, filename)
+        self._log("   - Report generation complete.")
+
+    def plot(self, factor: float = 1.0, show_window: bool = True, filename: str = "fem_result.png"):
+        from femx.viz import plot_solid_results
+
+        return plot_solid_results(self, factor=factor, show_window=show_window, filename=filename)
+
+
+# Reference-compatible alias (ReactionSolver.py:16).
+ForceAnalysis = SolidReactionAnalysis

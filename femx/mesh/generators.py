@@ -1,0 +1,209 @@
+"""Mesh generators: structured-box Tetra10 volumes and 1D frame meshes.
+
+The reference delegates mesh generation to the gmsh C++ library
+(gmsh_creation.py:18-108): an OCC box with force/fix points embedded via
+``fragment``, physical groups "box"(3D) / "Neumann_BCs"(0D) / "Diri_BCs"(0D),
+and 2nd-order complete elements (Mesh.ElementOrder=2 / SecondOrderIncomplete=0
+→ Tetra10). gmsh is not available here, and the only geometry the reference
+ever generates is an axis-aligned box — so femx ships a deterministic
+structured Kuhn-subdivision Tetra10 box mesher in pure numpy, with the same
+physical-group contract. BC points snap to the nearest mesh node (the
+reference's own solvers snap GUI points to the nearest group node anyway,
+ReactionSolver.py:164-166,180-182).
+
+For beams, ``FrameBuilder`` constructs 1D line meshes with 0-D vertex physical
+groups, the format BeamSolver consumes (BeamSolver.py:207-220,677-686; sample
+asset /root/reference/cantilever_beam).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from femx.mesh.core import Mesh
+
+# Kuhn/Freudenthal subdivision: 6 positively-oriented tets per hex, each a
+# monotone lattice path 000 -> 111 through vertex bits (bx, by, bz).
+_KUHN_PATHS = (
+    ((0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)),
+    ((0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 1)),
+    ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 1, 1)),
+    ((0, 0, 0), (0, 1, 0), (0, 1, 1), (1, 1, 1)),
+    ((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 1)),
+    ((0, 0, 0), (0, 0, 1), (0, 1, 1), (1, 1, 1)),
+)
+
+# Gmsh Tetra10 edge ordering (midside nodes 4..9), matching the reference
+# element kernel's shape-function layout (ReactionSolver.py:100-113).
+TET10_EDGES = ((0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3))
+
+
+def _tet4_volumes(points: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    p = points[conn]
+    return np.linalg.det(p[:, 1:] - p[:, :1]) / 6.0
+
+
+def tet4_to_tet10(points: np.ndarray, conn4: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Promote a Tetra4 mesh to Tetra10 by inserting shared midside nodes."""
+    conn4 = np.asarray(conn4, dtype=np.int64)
+    edges = np.stack([conn4[:, list(e)] for e in TET10_EDGES], axis=1)  # (E, 6, 2)
+    edges_sorted = np.sort(edges, axis=-1)
+    flat = edges_sorted.reshape(-1, 2)
+    key = flat[:, 0] * (len(points) + 1) + flat[:, 1]
+    uniq_key, inverse = np.unique(key, return_inverse=True)
+    uniq_pairs = np.stack([uniq_key // (len(points) + 1), uniq_key % (len(points) + 1)], axis=1)
+    mid_points = 0.5 * (points[uniq_pairs[:, 0]] + points[uniq_pairs[:, 1]])
+    mid_ids = len(points) + inverse.reshape(len(conn4), 6)
+    conn10 = np.concatenate([conn4, mid_ids], axis=1).astype(np.int32)
+    all_points = np.concatenate([points, mid_points], axis=0)
+    return all_points, conn10
+
+
+def box_tet10(
+    x: float,
+    y: float,
+    z: float,
+    mesh_size: float,
+    force_points: Optional[Sequence[Sequence[float]]] = None,
+    fix_points: Optional[Sequence[Sequence[float]]] = None,
+    origin: Sequence[float] = (0.0, 0.0, 0.0),
+) -> Mesh:
+    """Structured Tetra10 mesh of an axis-aligned box with BC point groups.
+
+    Drop-in functional replacement for the reference's gmsh box workflow
+    (gmsh_creation.py:18-108): returns a Mesh with physical groups
+    "box" (3D, tetra10), "Neumann_BCs" (0D vertices at force points) and
+    "Diri_BCs" (0D vertices at fix points).
+    """
+    dims = np.array([x, y, z], dtype=np.float64)
+    n = np.maximum(1, np.round(dims / mesh_size).astype(int))
+    nx, ny, nz = int(n[0]), int(n[1]), int(n[2])
+
+    xs = np.linspace(0, x, nx + 1)
+    ys = np.linspace(0, y, ny + 1)
+    zs = np.linspace(0, z, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1) + np.asarray(origin)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    I, J, K = I.ravel(), J.ravel(), K.ravel()
+    tets = []
+    for path in _KUHN_PATHS:
+        corners = [nid(I + b[0], J + b[1], K + b[2]) for b in path]
+        tets.append(np.stack(corners, axis=1))
+    conn4 = np.concatenate(tets, axis=0)
+    vols = _tet4_volumes(points, conn4)
+    # Make every tet positively oriented (detJ > 0) by swapping two vertices.
+    neg = vols < 0
+    conn4[neg] = conn4[neg][:, [0, 2, 1, 3]]
+
+    all_points, conn10 = tet4_to_tet10(points, conn4)
+
+    cells = {"tetra10": conn10}
+    phys = {"tetra10": np.ones(len(conn10), dtype=np.int32)}
+    field_data = {"box": (1, 3)}
+
+    vertex_cells: List[List[int]] = []
+    vertex_phys: List[int] = []
+    for group_points, tag, name in (
+        (force_points, 2, "Neumann_BCs"),
+        (fix_points, 3, "Diri_BCs"),
+    ):
+        if not group_points:
+            continue
+        field_data[name] = (tag, 0)
+        for p in group_points:
+            d = np.linalg.norm(all_points - np.asarray(p, dtype=np.float64), axis=1)
+            vertex_cells.append([int(np.argmin(d))])
+            vertex_phys.append(tag)
+    if vertex_cells:
+        cells["vertex"] = np.asarray(vertex_cells, dtype=np.int32)
+        phys["vertex"] = np.asarray(vertex_phys, dtype=np.int32)
+
+    mesh = Mesh(points=all_points, cells=cells, cell_physical=phys, field_data=field_data)
+    mesh.validate()
+    return mesh
+
+
+class FrameBuilder:
+    """Builds 1D line meshes (3D frames) with vertex/line physical groups.
+
+    Produces the mesh layout BeamSolver consumes: 'line' cells carrying the
+    section-assignment physical groups and 'vertex' cells carrying BC groups
+    (reference: BeamSolver.py:207-220, 326-328, 677-686; sample asset
+    /root/reference/cantilever_beam).
+    """
+
+    def __init__(self):
+        self._points: List[np.ndarray] = []
+        self._lines: List[Tuple[int, int, str]] = []
+        self._vertex_groups: Dict[str, List[int]] = {}
+        self._line_groups: List[str] = []
+
+    def add_node(self, xyz: Sequence[float]) -> int:
+        self._points.append(np.asarray(xyz, dtype=np.float64))
+        return len(self._points) - 1
+
+    def add_member(self, n1: int, n2: int, group: str, n_elems: int = 1) -> List[int]:
+        """Add a straight member from node n1 to n2, subdivided into n_elems."""
+        if group not in self._line_groups:
+            self._line_groups.append(group)
+        chain = [n1]
+        if n_elems > 1:
+            p1, p2 = self._points[n1], self._points[n2]
+            for i in range(1, n_elems):
+                chain.append(self.add_node(p1 + (p2 - p1) * (i / n_elems)))
+        chain.append(n2)
+        for a, b in zip(chain[:-1], chain[1:]):
+            self._lines.append((a, b, group))
+        return chain
+
+    def add_vertex_group(self, name: str, node_ids: Sequence[int]) -> None:
+        self._vertex_groups.setdefault(name, []).extend(int(i) for i in node_ids)
+
+    def build(self) -> Mesh:
+        points = np.asarray(self._points, dtype=np.float64)
+        field_data: Dict[str, Tuple[int, int]] = {}
+        tag = 1
+        for name in self._vertex_groups:
+            field_data[name] = (tag, 0)
+            tag += 1
+        for name in self._line_groups:
+            field_data[name] = (tag, 1)
+            tag += 1
+
+        cells: Dict[str, np.ndarray] = {}
+        phys: Dict[str, np.ndarray] = {}
+        if self._vertex_groups:
+            vc, vp = [], []
+            for name, ids in self._vertex_groups.items():
+                for i in ids:
+                    vc.append([i])
+                    vp.append(field_data[name][0])
+            cells["vertex"] = np.asarray(vc, dtype=np.int32)
+            phys["vertex"] = np.asarray(vp, dtype=np.int32)
+        if self._lines:
+            cells["line"] = np.asarray([(a, b) for a, b, _ in self._lines], dtype=np.int32)
+            phys["line"] = np.asarray([field_data[g][0] for _, _, g in self._lines], dtype=np.int32)
+
+        mesh = Mesh(points=points, cells=cells, cell_physical=phys, field_data=field_data)
+        mesh.validate()
+        return mesh
+
+
+def cantilever_line_mesh(length: float = 2.0, n_elems: int = 2) -> Mesh:
+    """The canonical beam demo input: a cantilever along +x with groups
+    'fix' (root vertex), 'load_y' (tip vertex), 'beam' (line elements) —
+    the same layout as the reference's shipped cantilever_beam asset."""
+    fb = FrameBuilder()
+    n0 = fb.add_node((0.0, 0.0, 0.0))
+    n1 = fb.add_node((length, 0.0, 0.0))
+    fb.add_vertex_group("fix", [n0])
+    fb.add_vertex_group("load_y", [n1])
+    fb.add_member(n0, n1, "beam", n_elems=n_elems)
+    return fb.build()
