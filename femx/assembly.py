@@ -131,6 +131,36 @@ class SolidOperator:
         s = self.free_mask
         return self.diagonal() * s + (1.0 - s)
 
+    def block_diagonal(self) -> jnp.ndarray:
+        """Nodal 3x3 diagonal blocks of K, (n_nodes, 3, 3), matrix-free."""
+        chat = tet10_el.chat_tensor(self.C)
+        bke = jnp.einsum(
+            "egkn,ckdl,egln,eg->encd", self.dN, chat, self.dN, self.weight * self.wdet
+        )
+        return jnp.zeros((self.n_nodes, 3, 3), dtype=bke.dtype).at[self.conn].add(bke)
+
+    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """r -> M^-1 r with M = constrained nodal 3x3 block diagonal.
+
+        Noticeably stronger than scalar Jacobi for elasticity (couples the
+        x/y/z components at each node) at the same O(N) apply cost.
+        """
+        from femx.elements.tet10 import _inv3x3
+
+        blocks = self.block_diagonal()
+        s = self.free_mask.reshape(self.n_nodes, 3)
+        # Zero fixed rows/cols inside each block, 1.0 on fixed diagonals.
+        blocks = blocks * s[:, :, None] * s[:, None, :]
+        eye = jnp.eye(3, dtype=blocks.dtype)
+        blocks = blocks + (1.0 - s)[:, :, None] * eye  # diag(1-s) on fixed DOFs
+        binv, _det = _inv3x3(blocks)
+
+        def apply_minv(r):
+            rn = r.reshape(self.n_nodes, 3)
+            return jnp.einsum("ncd,nd->nc", binv, rn).reshape(-1)
+
+        return apply_minv
+
     def element_stiffness(self):
         """Materialize (E, 30, 30) element matrices (small-mesh path)."""
         chat = tet10_el.chat_tensor(self.C)

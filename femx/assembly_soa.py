@@ -1,0 +1,120 @@
+"""SoA (element-last) matrix-free solid operator — the TPU production path.
+
+Same interface as femx.assembly.SolidOperator (apply / apply_constrained /
+diagonal / block_jacobi_preconditioner) but all hot arrays are element-last:
+dNg (4,3,10,E), wdet (4,E), DOF table (30,E). See femx.elements.tet10_soa
+for the layout rationale (~1000x faster than the einsum layout on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from femx.elements import tet10_soa as soa
+from femx.elements.tet10 import GAUSS_WEIGHT_CORRECT, material_matrix
+
+
+@dataclasses.dataclass
+class SolidOperatorSoA:
+    dofs: jnp.ndarray  # (30, E) int32 global DOF table
+    dNg: jnp.ndarray  # (4, 3, 10, E)
+    wdet: jnp.ndarray  # (4, E)
+    C6: np.ndarray  # (6, 6) numpy (embedded as constants)
+    n_nodes: int
+    weight: float
+    free_mask: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def from_mesh(cls, points, conn, E_mod, nu, weight=GAUSS_WEIGHT_CORRECT, dtype=np.float32):
+        """Build geometry factors on device from host mesh arrays."""
+        conn = np.asarray(conn)
+        coords = jnp.asarray(soa.coords_soa(np.asarray(points), conn, dtype))
+        dNg, wdet, detJ = jax.jit(soa.geometry)(coords)
+        C6 = np.asarray(material_matrix(float(E_mod), float(nu), dtype=jnp.float64))
+        op = cls(
+            dofs=jnp.asarray(soa.dof_table(conn)),
+            dNg=dNg,
+            wdet=wdet,
+            C6=C6.astype(dtype),
+            n_nodes=len(points),
+            weight=float(weight),
+        )
+        return op, detJ
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.n_nodes
+
+    @property
+    def n_elements(self) -> int:
+        return self.dofs.shape[1]
+
+    def with_free_mask(self, free_mask) -> "SolidOperatorSoA":
+        return dataclasses.replace(
+            self, free_mask=jnp.asarray(free_mask, dtype=self.dNg.dtype)
+        )
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        ue = u[self.dofs]  # (30, E) gather
+        fe = soa.apply_element_forces(self.dNg, self.wdet, self.C6, ue, self.weight)
+        return jnp.zeros_like(u).at[self.dofs.reshape(-1)].add(fe.reshape(-1))
+
+    def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
+        s = self.free_mask
+        v = self.apply(u * s) * s
+        return v + u * (1.0 - s)
+
+    def _block_entries(self):
+        chat = soa.chat_numpy(self.C6)
+        return soa.block_diagonal_entries(self.dNg, self.wdet, chat, self.weight)
+
+    def diagonal(self) -> jnp.ndarray:
+        bke = self._block_entries()  # (10, 3, 3, E)
+        diag_e = jnp.stack([bke[n, c, c] for n in range(10) for c in range(3)])  # (30, E)
+        return jnp.zeros(self.ndof, dtype=diag_e.dtype).at[self.dofs.reshape(-1)].add(
+            diag_e.reshape(-1)
+        )
+
+    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """r -> M^-1 r with M = constrained nodal 3x3 block diagonal."""
+        bke = self._block_entries()  # (10, 3, 3, E)
+        node_of = self.dofs[::3] // 3  # (10, E) node index per local slot
+        blocks = jnp.zeros((self.n_nodes, 3, 3), dtype=bke.dtype)
+        for n in range(10):
+            blocks = blocks.at[node_of[n]].add(jnp.transpose(bke[n], (2, 0, 1)))
+        s = self.free_mask.reshape(self.n_nodes, 3)
+        blocks = blocks * s[:, :, None] * s[:, None, :]
+        blocks = blocks + (1.0 - s)[:, :, None] * jnp.eye(3, dtype=blocks.dtype)
+        # closed-form 3x3 inverse, E-last style on (N,) component vectors
+        a = [[blocks[:, i, j] for j in range(3)] for i in range(3)]
+        det = (
+            a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+            - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+            + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+        )
+        inv_det = 1.0 / det
+        inv = [[None] * 3 for _ in range(3)]
+        inv[0][0] = (a[1][1] * a[2][2] - a[1][2] * a[2][1]) * inv_det
+        inv[0][1] = (a[0][2] * a[2][1] - a[0][1] * a[2][2]) * inv_det
+        inv[0][2] = (a[0][1] * a[1][2] - a[0][2] * a[1][1]) * inv_det
+        inv[1][0] = (a[1][2] * a[2][0] - a[1][0] * a[2][2]) * inv_det
+        inv[1][1] = (a[0][0] * a[2][2] - a[0][2] * a[2][0]) * inv_det
+        inv[1][2] = (a[0][2] * a[1][0] - a[0][0] * a[1][2]) * inv_det
+        inv[2][0] = (a[1][0] * a[2][1] - a[1][1] * a[2][0]) * inv_det
+        inv[2][1] = (a[0][1] * a[2][0] - a[0][0] * a[2][1]) * inv_det
+        inv[2][2] = (a[0][0] * a[1][1] - a[0][1] * a[1][0]) * inv_det
+        binv_cols = jnp.stack([jnp.stack(row) for row in inv])  # (3, 3, N)
+
+        def apply_minv(r):
+            rn = r.reshape(-1, 3)
+            z0 = binv_cols[0][0] * rn[:, 0] + binv_cols[0][1] * rn[:, 1] + binv_cols[0][2] * rn[:, 2]
+            z1 = binv_cols[1][0] * rn[:, 0] + binv_cols[1][1] * rn[:, 1] + binv_cols[1][2] * rn[:, 2]
+            z2 = binv_cols[2][0] * rn[:, 0] + binv_cols[2][1] * rn[:, 1] + binv_cols[2][2] * rn[:, 2]
+            return jnp.stack([z0, z1, z2], axis=1).reshape(-1)
+
+        return apply_minv

@@ -22,6 +22,7 @@ I_y = Iyy_c, kappa = A_s/A, c_y_max = max|x - cx|, c_z_max = max|y - cy|
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import numpy as np
@@ -140,6 +141,30 @@ def _closed_form_jk(section_type: str, params: dict, A: float, nu: float = 0.0):
     raise ValueError(f"Unknown section type '{section_type}'")
 
 
+# Shapes whose closed-form J/kappa are already exact (or exact-series);
+# the warping FEM only adds value for the open/box thin-walled shapes.
+_CLOSED_FORM_EXACT = {"rectangular section", "circular section", "hollow circular section"}
+
+
+def _reference_mesh_size(params: dict) -> float:
+    """The reference's refinement rule: min thickness / 10, falling back to
+    min(d, b) / 10 for solid shapes (BeamSolver.py:58-64)."""
+    t_vals = [v for k, v in params.items() if "t" in k and isinstance(v, (int, float)) and v > 0]
+    if t_vals:
+        return min(t_vals) / 10.0
+    dims = [v for k, v in params.items() if k in ("d", "b") and v > 0]
+    return (min(dims) if dims else 1.0) / 10.0
+
+
+@lru_cache(maxsize=256)
+def _fem_jk_cached(section_type: str, params_key: tuple, nu: float):
+    from femx.sections.warping import warping_constants
+
+    params = dict(params_key)
+    geom = build_geometry(section_type, params)
+    return warping_constants(geom, nu=nu, mesh_size=_reference_mesh_size(params))
+
+
 def compute_properties(
     section_type: str,
     params: dict,
@@ -151,17 +176,20 @@ def compute_properties(
 
     method: 'closed_form' uses classical J/kappa formulas; 'fem' runs the 2D
     warping/shear FEM (femx.sections.warping) for reference-grade J/kappa;
-    'auto' prefers FEM when available for the shape.
+    'auto' uses closed forms where they are exact (rect/circle/tube) and the
+    FEM for thin-walled open/box shapes (I/C/L/hollow-box), cached per
+    (type, params, nu).
     """
     geom = build_geometry(section_type, params)
     A, cx, cy, ixx_c, iyy_c, _ixy_c = polygon_moments(geom)
     c_y, c_z = extreme_fibers(geom, cx, cy)
+    st = section_type.strip().lower()
+    use_fem = method == "fem" or (method == "auto" and st not in _CLOSED_FORM_EXACT)
     J = ky = kz = None
-    if method in ("fem", "auto"):
+    if use_fem:
         try:
-            from femx.sections.warping import warping_constants
-
-            J, ky, kz = warping_constants(geom, nu=nu)
+            key = tuple(sorted((k, float(v)) for k, v in params.items()))
+            J, ky, kz = _fem_jk_cached(st, key, float(nu))
         except Exception:
             if method == "fem":
                 raise

@@ -1,0 +1,268 @@
+"""Saint-Venant torsion & shear 2D FEM: J and shear-area ratios kappa.
+
+The reference obtains J/kappa from the `sectionproperties` library's warping
+FEM (BeamSolver.py:65-70). That library isn't available here, so femx ships
+its own small 2D solver implementing the same classical formulation
+(Pilkey, "Analysis and Design of Elastic Beams", ch. 5-6):
+
+  torsion:  K w = f_w,  f_w_i = ∫ (N_i,x y − N_i,y x) dA
+            J = Ixx + Iyy − wᵀ f_w
+  shear:    K Ψ = F_ψ (unit shear in x), K Φ = F_φ (unit shear in y)
+            F_ψ = ∫ [ν/2 Bᵀ(Ixx r − Ixy q) + 2(1+ν) Nᵀ(Ixx x − Ixy y)] dA
+            F_φ = ∫ [ν/2 Bᵀ(Iyy q − Ixy r) + 2(1+ν) Nᵀ(Iyy y − Ixy x)] dA
+            with r = (x²−y², 2xy), q = (2xy, y²−x²),
+            Δ_s = 2(1+ν)(Ixx Iyy − Ixy²)
+            A_sx = Δ_s² / (Ψᵀ F_ψ),  A_sy = Δ_s² / (Φᵀ F_φ)
+
+Mesh: grid-seeded constrained-free Delaunay (scipy.spatial) filtered by
+point-in-polygon, Tri3 elements, mesh size = min(thickness)/10 by default —
+the reference's own refinement rule (BeamSolver.py:58-64). The Neumann
+torsion problem is singular up to a constant; we pin one DOF. Solves run
+through femx's Jacobi-PCG on a matrix-free Tri3 Laplacian (vmapped, jit).
+
+Validation (tests/test_warping.py): rectangle J-series & kappa=5/6 (nu=0),
+circle J=pi r^4/2 & kappa=6/7, thin-wall I/box formulas.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from femx.sections.geometry import SectionGeometry
+
+
+# ---------------------------------------------------------------------------
+# Triangulation
+# ---------------------------------------------------------------------------
+def _resample_loop(loop: np.ndarray, h: float) -> np.ndarray:
+    """Resample a closed polyline at spacing ~h (keeps original vertices)."""
+    pts = []
+    n = len(loop)
+    for i in range(n):
+        a, b = loop[i], loop[(i + 1) % n]
+        seg = np.linalg.norm(b - a)
+        k = max(1, int(np.ceil(seg / h)))
+        for j in range(k):
+            pts.append(a + (b - a) * (j / k))
+    return np.asarray(pts)
+
+
+def _points_in_polygon(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized crossing-number point-in-polygon test."""
+    x, y = pts[:, 0], pts[:, 1]
+    inside = np.zeros(len(pts), dtype=bool)
+    n = len(poly)
+    x0, y0 = poly[:, 0], poly[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    for i in range(n):
+        cond = (y0[i] > y) != (y1[i] > y)
+        denom = y1[i] - y0[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = x0[i] + (y - y0[i]) * (x1[i] - x0[i]) / denom
+        inside ^= cond & (x < xcross)
+    return inside
+
+
+def _inside_region(pts: np.ndarray, geom: SectionGeometry) -> np.ndarray:
+    inside = _points_in_polygon(pts, geom.outer)
+    for h in geom.holes:
+        inside &= ~_points_in_polygon(pts, h)
+    return inside
+
+
+def triangulate(geom: SectionGeometry, h: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Delaunay-based triangulation of the section region at spacing ~h.
+
+    Returns (nodes (N,2), triangles (T,3) int32). Boundary loops resampled at
+    h; interior seeded on a jittered grid; triangles kept if their centroid
+    lies inside the region.
+    """
+    from scipy.spatial import Delaunay
+
+    bpts = [_resample_loop(geom.outer, h)] + [_resample_loop(hl, h) for hl in geom.holes]
+    allb = np.concatenate(bpts, axis=0)
+    lo = allb.min(axis=0) - 0.5 * h
+    hi = allb.max(axis=0) + 0.5 * h
+    nx = max(2, int(np.ceil((hi[0] - lo[0]) / h)))
+    ny = max(2, int(np.ceil((hi[1] - lo[1]) / h)))
+    gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], nx), np.linspace(lo[1], hi[1], ny))
+    grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    # keep interior grid points well inside (at least ~h/3 from boundary via
+    # erosion test on 4 offsets) to avoid slivers against the boundary chain
+    offs = np.array([[0.35 * h, 0], [-0.35 * h, 0], [0, 0.35 * h], [0, -0.35 * h]])
+    keep = _inside_region(grid, geom)
+    for o in offs:
+        keep &= _inside_region(grid + o, geom)
+    nodes = np.concatenate([allb, grid[keep]], axis=0)
+    # dedup
+    nodes = np.unique(np.round(nodes / (1e-9 + h * 1e-6)), axis=0) * (1e-9 + h * 1e-6)
+    tri = Delaunay(nodes)
+    cells = tri.simplices.astype(np.int32)
+    cent = nodes[cells].mean(axis=1)
+    good = _inside_region(cent, geom)
+    # drop degenerate slivers
+    p = nodes[cells]
+    area2 = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+        p[:, 2, 0] - p[:, 0, 0]
+    ) * (p[:, 1, 1] - p[:, 0, 1])
+    good &= np.abs(area2) > 1e-6 * h * h
+    cells = cells[good]
+    # orient CCW
+    neg = area2[good] < 0
+    cells[neg] = cells[neg][:, [0, 2, 1]]
+    used = np.unique(cells)
+    remap = -np.ones(len(nodes), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return nodes[used], remap[cells].astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Tri3 FEM (host numpy assembly of load vectors; JAX PCG solve)
+# ---------------------------------------------------------------------------
+def _tri_geometry(nodes: np.ndarray, cells: np.ndarray):
+    p = nodes[cells]  # (T, 3, 2)
+    x, y = p[..., 0], p[..., 1]
+    b = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=1)
+    c = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=1)
+    area = 0.5 * (
+        x[:, 1] * y[:, 2] - x[:, 2] * y[:, 1]
+        + x[:, 2] * y[:, 0] - x[:, 0] * y[:, 2]
+        + x[:, 0] * y[:, 1] - x[:, 1] * y[:, 0]
+    )
+    Bx = b / (2 * area[:, None])
+    By = c / (2 * area[:, None])
+    return Bx, By, area, p
+
+
+def _laplacian_apply_factory(nodes, cells):
+    """Matrix-free Tri3 Laplacian K = ∫ ∇N·∇N dA as a jitted closure."""
+    import jax
+    import jax.numpy as jnp
+
+    Bx, By, area, _ = _tri_geometry(nodes, cells)
+    Bxj = jnp.asarray(Bx)
+    Byj = jnp.asarray(By)
+    areaj = jnp.asarray(area)
+    cellsj = jnp.asarray(cells)
+    n = len(nodes)
+
+    def apply_K(w):
+        we = w[cellsj]  # (T, 3)
+        gx = jnp.sum(Bxj * we, axis=1)
+        gy = jnp.sum(Byj * we, axis=1)
+        fe = (Bxj * gx[:, None] + Byj * gy[:, None]) * areaj[:, None]
+        return jnp.zeros(n, dtype=w.dtype).at[cellsj.reshape(-1)].add(fe.reshape(-1))
+
+    diag_e = (Bx**2 + By**2) * area[:, None]
+    diag = np.zeros(n)
+    np.add.at(diag, cells.reshape(-1), diag_e.reshape(-1))
+    return jax.jit(apply_K), jnp.asarray(diag)
+
+
+def _pinned_solve(apply_K, diag, f, pin: int = 0, tol: float = 1e-10):
+    """Solve K w = f with DOF `pin` fixed to zero (Neumann nullspace fix)."""
+    import jax.numpy as jnp
+
+    from femx.solve.cg import pcg
+
+    n = f.shape[0]
+    mask = np.ones(n)
+    mask[pin] = 0.0
+    maskj = jnp.asarray(mask)
+
+    def A(w):
+        v = apply_K(w * maskj) * maskj
+        return v + w * (1.0 - maskj)
+
+    minv = 1.0 / (np.asarray(diag) * mask + (1.0 - mask))
+    res = pcg(A, jnp.asarray(f * mask), M_inv_diag=jnp.asarray(minv), tol=tol, maxiter=20000)
+    return np.asarray(res.x), res
+
+
+def warping_constants(
+    geom: SectionGeometry, nu: float = 0.0, mesh_size: float = None
+) -> Tuple[float, float, float]:
+    """(J, kappa_x, kappa_y) for a section geometry via the warping/shear FEM.
+
+    kappa_x = A_sx / A (shear along section-x), kappa_y = A_sy / A — the
+    quantities the reference calls kappa_y/kappa_z (BeamSolver.py:74).
+    """
+    from femx.sections.properties import polygon_moments
+
+    A, cx, cy, ixx, iyy, ixy = polygon_moments(geom)
+    if mesh_size is None:
+        mesh_size = _default_mesh_size(geom)
+    nodes, cells = triangulate(geom, mesh_size)
+    nodes = nodes - np.array([cx, cy])  # centroidal coordinates
+
+    apply_K, diag = _laplacian_apply_factory(nodes, cells)
+    Bx, By, area, p = _tri_geometry(nodes, cells)
+    # 3-point midedge quadrature (degree-2 exact) for load integrals
+    mids = 0.5 * (p + np.roll(p, -1, axis=1))  # (T, 3, 2) edge midpoints
+    wq = area[:, None] / 3.0
+    # shape functions at midedge points: N_i = 1/2 at two mids, 0 at the
+    # opposite one: N(mid_j) has N values [0.5, 0.5, 0] cyclically.
+    NQ = np.array([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]])  # (q, i)
+
+    xq, yq = mids[..., 0], mids[..., 1]  # (T, 3)
+
+    n = len(nodes)
+    # torsion load: f_i = ∫ (N_i,x y − N_i,y x) dA ; B constant, x/y linear →
+    # integrate x,y exactly with the midedge rule
+    f_t = np.zeros(n)
+    f_e = Bx * (yq * wq).sum(axis=1)[:, None] - By * (xq * wq).sum(axis=1)[:, None]
+    np.add.at(f_t, cells.reshape(-1), f_e.reshape(-1))
+
+    w_sol, _ = _pinned_solve(apply_K, diag, f_t)
+    J = ixx + iyy - float(w_sol @ f_t)
+
+    # shear load vectors (Pilkey): r = (x²−y², 2xy), q = (2xy, y²−x²)
+    def shear_load(I1, I2, direction):
+        f = np.zeros(n)
+        for qd in range(3):
+            x_, y_, wq_ = xq[:, qd], yq[:, qd], area / 3.0
+            r1, r2 = x_ * x_ - y_ * y_, 2 * x_ * y_
+            q1, q2 = 2 * x_ * y_, y_ * y_ - x_ * x_
+            if direction == "x":
+                d1 = I1 * r1 - I2 * q1
+                d2 = I1 * r2 - I2 * q2
+                hterm = I1 * x_ - I2 * y_
+            else:
+                d1 = I1 * q1 - I2 * r1
+                d2 = I1 * q2 - I2 * r2
+                hterm = I1 * y_ - I2 * x_
+            fe = (
+                nu / 2.0 * (Bx * d1[:, None] + By * d2[:, None])
+                + 2.0 * (1.0 + nu) * NQ[qd][None, :] * hterm[:, None]
+            ) * wq_[:, None]
+            np.add.at(f, cells.reshape(-1), fe.reshape(-1))
+        return f
+
+    delta_s = 2.0 * (1.0 + nu) * (ixx * iyy - ixy * ixy)
+    f_psi = shear_load(ixx, ixy, "x")
+    f_phi = shear_load(iyy, ixy, "y")
+    psi, _ = _pinned_solve(apply_K, diag, f_psi)
+    phi, _ = _pinned_solve(apply_K, diag, f_phi)
+    a_sx = delta_s**2 / float(psi @ f_psi)
+    a_sy = delta_s**2 / float(phi @ f_phi)
+    return float(J), float(a_sx / A), float(a_sy / A)
+
+
+def _default_mesh_size(geom: SectionGeometry) -> float:
+    """Reference rule: min wall thickness / 10 (BeamSolver.py:58-64),
+    approximated from geometry extents when thickness is unknown."""
+    v = geom.all_vertices()
+    extent = (v.max(axis=0) - v.min(axis=0)).min()
+    if geom.holes:
+        # thin-walled: estimate wall thickness from area / half-perimeter
+        from femx.sections.properties import polygon_moments
+
+        A, *_ = polygon_moments(geom)
+        per = 0.0
+        for loop in [geom.outer] + geom.holes:
+            per += np.linalg.norm(np.roll(loop, -1, axis=0) - loop, axis=1).sum()
+        t_est = 2.0 * A / per
+        return max(t_est / 6.0, extent / 200.0)
+    return extent / 24.0

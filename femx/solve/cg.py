@@ -24,33 +24,43 @@ class CGResult(NamedTuple):
     converged: jnp.ndarray
 
 
+def _as_precond(M_inv) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if M_inv is None:
+        return lambda r: r
+    if callable(M_inv):
+        return M_inv
+    minv = jnp.asarray(M_inv)
+    return lambda r: minv * r
+
+
 def pcg(
     A: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
-    M_inv_diag: Optional[jnp.ndarray] = None,
+    M_inv_diag=None,
     x0: Optional[jnp.ndarray] = None,
     tol: float = 1e-8,
     maxiter: int = 10000,
 ) -> CGResult:
-    """Jacobi-preconditioned CG for SPD A.
+    """Preconditioned CG for SPD A.
 
     Args:
       A: linear operator (ndof,) -> (ndof,).
       b: right-hand side.
-      M_inv_diag: inverse-preconditioner diagonal (e.g. 1/diag(K)); identity
-        if None.
+      M_inv_diag: preconditioner — either an inverse diagonal array (Jacobi,
+        e.g. 1/diag(K)) or a callable r -> M^-1 r (e.g. nodal block-Jacobi);
+        identity if None.
       tol: relative residual target ||r|| <= tol * ||b||.
     """
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
-    minv = jnp.ones_like(b) if M_inv_diag is None else jnp.asarray(M_inv_diag)
+    Minv = _as_precond(M_inv_diag)
 
     bnorm = jnp.linalg.norm(b)
     bnorm_safe = jnp.where(bnorm > 0, bnorm, 1.0)
     atol2 = (tol * bnorm_safe) ** 2
 
     r = b - A(x)
-    z = minv * r
+    z = Minv(r)
     p = z
     rz = jnp.vdot(r, z)
 
@@ -64,7 +74,7 @@ def pcg(
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = minv * r
+        z = Minv(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p

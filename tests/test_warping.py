@@ -1,0 +1,100 @@
+"""Warping/shear FEM validation: J and kappa vs exact/classical values."""
+
+import numpy as np
+import pytest
+
+from femx.sections.geometry import (
+    circular,
+    circular_hollow,
+    i_section,
+    rectangular,
+    rectangular_hollow,
+)
+from femx.sections.properties import compute_properties, torsion_rectangle
+from femx.sections.warping import triangulate, warping_constants
+
+
+def test_triangulation_covers_area():
+    g = rectangular(0.1, 0.05)
+    nodes, cells = triangulate(g, 0.005)
+    p = nodes[cells]
+    area = 0.5 * np.abs(
+        (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+        - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1])
+    ).sum()
+    assert area == pytest.approx(0.005, rel=1e-6)
+
+
+def test_triangulation_with_hole():
+    g = rectangular_hollow(0.1, 0.06, 0.005)
+    nodes, cells = triangulate(g, 0.002)
+    p = nodes[cells]
+    area = 0.5 * np.abs(
+        (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+        - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1])
+    ).sum()
+    expect = 0.06 * 0.1 - 0.05 * 0.09
+    assert area == pytest.approx(expect, rel=2e-3)
+
+
+def test_rectangle_J_and_kappa():
+    g = rectangular(0.1, 0.05)
+    J, kx, ky = warping_constants(g, nu=0.0, mesh_size=0.0035)
+    assert J == pytest.approx(torsion_rectangle(0.05, 0.1), rel=0.01)
+    assert kx == pytest.approx(5.0 / 6.0, rel=0.01)
+    assert ky == pytest.approx(5.0 / 6.0, rel=0.01)
+
+
+def test_circle_J_and_kappa():
+    g = circular(0.1, 64)
+    J, kx, ky = warping_constants(g, nu=0.0, mesh_size=0.005)
+    assert J == pytest.approx(np.pi * 0.1**4 / 32, rel=0.01)
+    assert kx == pytest.approx(6.0 / 7.0, rel=0.01)  # Cowper, nu=0
+
+
+def test_hollow_circle_J():
+    d, t = 0.1, 0.012
+    g = circular_hollow(d, t, 64)
+    J, kx, ky = warping_constants(g, nu=0.0, mesh_size=t / 8)
+    di = d - 2 * t
+    assert J == pytest.approx(np.pi * (d**4 - di**4) / 32, rel=0.015)
+
+
+def test_i_section_J_vs_thin_wall():
+    d, b, tf, tw = 0.2, 0.1, 0.012, 0.008
+    g = i_section(d, b, tf, tw, 0.0)
+    J, kx, ky = warping_constants(g, nu=0.0, mesh_size=tw / 8)
+    J_tw = (2 * b * tf**3 + (d - 2 * tf) * tw**3) / 3.0
+    # FEM J for open thin-wall sections runs ~5-20% above the naive formula
+    # (junction effects); sanity-band the result
+    assert 0.9 * J_tw < J < 1.6 * J_tw
+    # shear in the web direction carried by ~the web area
+    web_frac = (d - 2 * tf) * tw / (2 * b * tf + (d - 2 * tf) * tw)
+    assert ky == pytest.approx(web_frac, rel=0.35)
+
+
+def test_box_J_vs_bredt():
+    d, b, t = 0.1, 0.06, 0.006
+    g = rectangular_hollow(d, b, t, 0.0)
+    J, kx, ky = warping_constants(g, nu=0.0, mesh_size=t / 8)
+    bm, dm = b - t, d - t
+    J_bredt = 2 * t * (bm * dm) ** 2 / (bm + dm)
+    assert J == pytest.approx(J_bredt, rel=0.08)
+
+
+def test_auto_method_uses_fem_for_open_sections():
+    p_auto = compute_properties(
+        "I section", {"d": 0.05, "b": 0.025, "t_f": 0.005, "t_w": 0.005, "r": 0.001}
+    )
+    p_cf = compute_properties(
+        "I section", {"d": 0.05, "b": 0.025, "t_f": 0.005, "t_w": 0.005, "r": 0.001},
+        method="closed_form",
+    )
+    # area/inertia identical (same polygon), J differs (FEM vs thin-wall)
+    assert p_auto.A == p_cf.A and p_auto.I_x == p_cf.I_x
+    assert p_auto.J != p_cf.J
+    # cached: second call instant & identical
+    p_auto2 = compute_properties(
+        "I section", {"d": 0.05, "b": 0.025, "t_f": 0.005, "t_w": 0.005, "r": 0.001}
+    )
+    assert p_auto2.J == p_auto.J
