@@ -102,13 +102,30 @@ class SolidReactionAnalysis:
         return self.compat.tet10_gauss_weight
 
     def assemble_stiffness_matrix(self) -> None:
-        """Build the matrix-free operator (and count bad Jacobians)."""
+        """Build the matrix-free operator (and count bad Jacobians).
+
+        Structured box meshes (femx.mesh.box_tet10) get the gather-free
+        lattice operator (femx.assembly_structured) — the TPU fast path;
+        general unstructured meshes use the gather/scatter operator."""
         self._log("2. Assembling global stiffness operator (matrix-free)...")
         t0 = time.perf_counter()
-        self.operator, detJ = SolidOperator.from_mesh(
-            self.points, self.tetra10_conn, self.C, weight=self.weight, dtype=self.dtype
-        )
-        self.negative_detJ_count = int(jnp.sum(detJ <= 1e-12))
+        if getattr(self.mesh, "structured", None) is not None and self.solver != "dense":
+            from femx.assembly_structured import StructuredSolidOperator
+
+            self.operator = StructuredSolidOperator.from_mesh(
+                self.mesh, self.E, self.v, weight=self.weight,
+                dtype=self.dtype or np.float64,
+            )
+            # Structured cells are affine images of the unit Kuhn subdivision:
+            # every Jacobian is positive by construction.
+            self.negative_detJ_count = 0
+            self._structured = True
+        else:
+            self.operator, detJ = SolidOperator.from_mesh(
+                self.points, self.tetra10_conn, self.C, weight=self.weight, dtype=self.dtype
+            )
+            self.negative_detJ_count = int(jnp.sum(detJ <= 1e-12))
+            self._structured = False
         self.stage_times["assemble"] = time.perf_counter() - t0
         self._log("   - Assembly complete.")
 
@@ -134,10 +151,35 @@ class SolidReactionAnalysis:
         self._log("4. Solving the linear system...")
         t0 = time.perf_counter()
         ndof = 3 * self.num_nodes
-        free_mask = jnp.asarray(self.constraints.free_mask(), dtype=self.operator.dN.dtype)
+        if self._structured:
+            dtype = self.operator.Kcell.dtype
+            # structured operator runs in its internal phase-major layout
+            mask_g = self.constraints.free_mask()
+            op = self.operator.with_free_mask(
+                jnp.asarray(self.operator.to_internal(mask_g), dtype=dtype)
+            )
+            self.operator = op
+            f_int = jnp.asarray(op.to_internal(self.f * mask_g), dtype=dtype)
+            minv = op.block_jacobi_preconditioner()
+            res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
+            u_int = res.x
+            self.solve_info = {
+                "method": "structured_block_jacobi_pcg",
+                "iterations": int(res.iterations),
+                "residual": float(res.residual_norm),
+                "converged": bool(res.converged),
+            }
+            self.u = op.to_global(np.asarray(u_int))
+            self._log("   - System solved.")
+            self.reaction_forces = op.to_global(np.asarray(op.apply(u_int)))
+            self.stage_times["solve"] = time.perf_counter() - t0
+            return
+
+        dtype = self.operator.dN.dtype
+        free_mask = jnp.asarray(self.constraints.free_mask(), dtype=dtype)
         op = self.operator.with_free_mask(free_mask)
         self.operator = op
-        f = jnp.asarray(self.f, dtype=op.dN.dtype)
+        f = jnp.asarray(self.f, dtype=dtype)
 
         use_dense = self.solver == "dense" or (self.solver == "auto" and ndof <= self.DENSE_DOF_LIMIT)
         if use_dense:
@@ -147,11 +189,11 @@ class SolidReactionAnalysis:
             u = solve_dense(K, f, free_mask=free_mask)
             self.solve_info = {"method": "dense_cholesky"}
         else:
-            minv = 1.0 / op.constrained_diagonal()
+            minv = op.block_jacobi_preconditioner()
             res = pcg(op.apply_constrained, f * free_mask, M_inv_diag=minv, tol=self.cg_tol)
             u = res.x
             self.solve_info = {
-                "method": "jacobi_pcg",
+                "method": "block_jacobi_pcg",
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),

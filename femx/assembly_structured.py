@@ -1,0 +1,272 @@
+"""Gather-free structured-grid stiffness operator — the TPU speed-of-light path.
+
+Motivation (measured on the target chip): XLA gather/scatter of the ~30E
+element-DOF indices costs ~80 ms per operator application at 1M DOF — 1000x
+the bandwidth roofline — making unstructured SpMV formulations hopeless on
+TPU. But the solid product's generated geometry is always an axis-aligned
+box (the reference's gmsh path creates nothing else, gmsh_creation.py:30),
+and on femx's structured Kuhn mesh the Tetra10 node set is exactly the
+half-spaced lattice (see StructuredBoxInfo). That turns K@u into:
+
+  1. contiguous slices of 8 parity-phase subgrids (one per cell-local
+     lattice slot) — no gathers, no strided access;
+  2. ONE constant 81x81 cell-stiffness matmul against (81, n_cells) — MXU;
+  3. contiguous slice-adds back (overlap-add) — no scatters.
+
+Layout notes (why phases): a naive (Px,Py,Pz,3) grid puts tiny dims in the
+TPU tile minor positions (measured 40x memory-traffic blowup from (8,128)
+tile padding). Phase decomposition keeps every hot buffer shaped
+(3, sx, sy, sz) or (81, n_cells) with large minor dims, and every slice
+stride-1. The operator therefore runs in its own internal DOF ordering
+(phase-major, component-major); `to_internal` / `to_global` convert once per
+solve on the host.
+
+The 81x81 cell matrix is assembled once from the 6 Tetra10 elements of a
+single cell via the exact einsum path (femx.assembly.SolidOperator), so the
+structured operator is numerically identical to the unstructured one —
+enforced by tests/test_structured.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _cell_stiffness(spacing, E_mod, nu, weight, dtype) -> np.ndarray:
+    """Exact (81, 81) stiffness of one structured cell (6 Tet10 elements),
+    in raster order of the 27 cell-local lattice slots x 3 components."""
+    from femx.assembly import SolidOperator, assemble_dense, dof_map
+    from femx.elements.tet10 import material_matrix
+    from femx.mesh.generators import box_tet10
+
+    hx, hy, hz = spacing
+    cell = box_tet10(hx, hy, hz, mesh_size=max(spacing) * 1.01)
+    assert cell.num_nodes == 27, cell.num_nodes
+    C = material_matrix(float(E_mod), float(nu), dtype=jnp.float64)
+    op, _ = SolidOperator.from_mesh(cell.points, cell.cells["tetra10"], C, weight=weight)
+    K = np.asarray(assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 81))
+    K = 0.5 * (K + K.T)  # enforce exact symmetry before low-precision cast
+    return K.astype(dtype)
+
+
+# The 27 cell-local slots in raster order (a-major), a,b,c in {0,1,2}:
+# lattice position = cell*2 + (a,b,c). Slot s = 9a + 3b + c.
+_SLOTS = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
+
+
+@dataclasses.dataclass
+class StructuredSolidOperator:
+    """Matrix-free K for a structured box Tetra10 mesh.
+
+    Operates on an internal phase-major flat DOF vector; use
+    `to_internal`/`to_global` (host-side, once per solve) to convert
+    between mesh node order (lattice raster, femx.mesh.box_tet10) and the
+    internal layout.
+    """
+
+    Kcell: jnp.ndarray  # (81, 81)
+    n_cells: Tuple[int, int, int]
+    grid_shape: Tuple[int, int, int]
+    weight: float
+    free_mask: Optional[jnp.ndarray] = None  # internal layout
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_mesh(cls, mesh, E_mod, nu, weight=None, dtype=np.float32):
+        from femx.elements.tet10 import GAUSS_WEIGHT_CORRECT
+
+        info = mesh.structured
+        if info is None:
+            raise ValueError("Mesh has no structured-lattice metadata")
+        if weight is None:
+            weight = GAUSS_WEIGHT_CORRECT
+        Kc = _cell_stiffness(info.spacing, E_mod, nu, weight, dtype)
+        return cls(
+            Kcell=jnp.asarray(Kc),
+            n_cells=info.n_cells,
+            grid_shape=info.grid_shape,
+            weight=float(weight),
+        )
+
+    # -- layout bookkeeping --------------------------------------------------
+    @property
+    def ndof(self) -> int:
+        P = self.grid_shape
+        return 3 * P[0] * P[1] * P[2]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.ndof // 3
+
+    def _phase_shapes(self) -> List[Tuple[int, int, int]]:
+        nx, ny, nz = self.n_cells
+        out = []
+        for px in (0, 1):
+            for py in (0, 1):
+                for pz in (0, 1):
+                    out.append((nx + 1 - px, ny + 1 - py, nz + 1 - pz))
+        return out
+
+    def _phase_offsets(self) -> List[int]:
+        offs = [0]
+        for s in self._phase_shapes():
+            offs.append(offs[-1] + 3 * s[0] * s[1] * s[2])
+        return offs
+
+    def _permutation(self) -> np.ndarray:
+        """perm[internal_idx] = global dof index (3*node + comp), where node
+        ids are the mesher's lattice raster order."""
+        Px, Py, Pz = self.grid_shape
+        perm = np.empty(self.ndof, dtype=np.int64)
+        pos = 0
+        for px in (0, 1):
+            for py in (0, 1):
+                for pz in (0, 1):
+                    p = np.arange(px, Px, 2)
+                    q = np.arange(py, Py, 2)
+                    r = np.arange(pz, Pz, 2)
+                    P_, Q_, R_ = np.meshgrid(p, q, r, indexing="ij")
+                    nodes = (P_ * Py + Q_) * Pz + R_  # lattice raster node id
+                    count = nodes.size
+                    for comp in range(3):
+                        perm[pos : pos + count] = 3 * nodes.ravel() + comp
+                        pos += count
+        return perm
+
+    def to_internal(self, x: np.ndarray) -> np.ndarray:
+        """Global (3*node+comp) vector -> internal phase-major vector (host)."""
+        if not hasattr(self, "_perm"):
+            object.__setattr__(self, "_perm", self._permutation())
+        return np.asarray(x)[self._perm]
+
+    def to_global(self, y: np.ndarray) -> np.ndarray:
+        if not hasattr(self, "_perm"):
+            object.__setattr__(self, "_perm", self._permutation())
+        out = np.empty_like(np.asarray(y))
+        out[self._perm] = np.asarray(y)
+        return out
+
+    def with_free_mask(self, free_mask_internal) -> "StructuredSolidOperator":
+        return dataclasses.replace(
+            self, free_mask=jnp.asarray(free_mask_internal, dtype=self.Kcell.dtype)
+        )
+
+    # -- core ---------------------------------------------------------------
+    def _split_phases(self, u: jnp.ndarray) -> List[jnp.ndarray]:
+        shapes = self._phase_shapes()
+        offs = self._phase_offsets()
+        return [
+            u[offs[i] : offs[i + 1]].reshape(3, *shapes[i]) for i in range(8)
+        ]
+
+    def _join_phases(self, grids: List[jnp.ndarray]) -> jnp.ndarray:
+        return jnp.concatenate([g.reshape(-1) for g in grids])
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """K @ u (internal layout)."""
+        nx, ny, nz = self.n_cells
+        C = nx * ny * nz
+        phases = self._split_phases(u)
+        slots = []
+        for (a, b, c) in _SLOTS:
+            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
+            ia, jb, kc = a // 2, b // 2, c // 2
+            slots.append(phases[pidx][:, ia : ia + nx, jb : jb + ny, kc : kc + nz])
+        ue = jnp.stack(slots).reshape(81, C)  # (27,3,nx,ny,nz) -> (81, C)
+        # HIGHEST: TPU matmuls default to bf16 multiplication, whose 8-bit
+        # mantissa breaks the operator's symmetry enough to diverge CG.
+        fe = jax.lax.dot(
+            self.Kcell, ue, precision=jax.lax.Precision.HIGHEST
+        ).reshape(27, 3, nx, ny, nz)
+        out = [jnp.zeros_like(g) for g in phases]
+        for s, (a, b, c) in enumerate(_SLOTS):
+            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
+            ia, jb, kc = a // 2, b // 2, c // 2
+            out[pidx] = out[pidx].at[:, ia : ia + nx, jb : jb + ny, kc : kc + nz].add(fe[s])
+        return self._join_phases(out)
+
+    def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
+        s = self.free_mask
+        v = self.apply(u * s) * s
+        return v + u * (1.0 - s)
+
+    # -- preconditioning ----------------------------------------------------
+    def block_diagonal_internal(self) -> jnp.ndarray:
+        """(n_nodes, 3, 3) nodal diagonal blocks, nodes in internal order."""
+        nx, ny, nz = self.n_cells
+        Kc = np.asarray(self.Kcell).reshape(27, 3, 27, 3)
+        shapes = self._phase_shapes()
+        grids = [np.zeros((s[0], s[1], s[2], 3, 3), dtype=np.asarray(self.Kcell).dtype) for s in shapes]
+        for s, (a, b, c) in enumerate(_SLOTS):
+            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
+            ia, jb, kc = a // 2, b // 2, c // 2
+            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += Kc[s, :, s, :]
+        flat = np.concatenate([g.reshape(-1, 3, 3) for g in grids])
+        return jnp.asarray(flat)
+
+    def diagonal(self) -> jnp.ndarray:
+        """diag(K) in internal layout (components grouped per phase)."""
+        bd = np.asarray(self.block_diagonal_internal())
+        shapes = self._phase_shapes()
+        parts = []
+        pos = 0
+        for s in shapes:
+            cnt = s[0] * s[1] * s[2]
+            blk = bd[pos : pos + cnt]
+            pos += cnt
+            parts.append(np.stack([blk[:, c, c] for c in range(3)]).reshape(-1))
+        return jnp.asarray(np.concatenate(parts))
+
+    def constrained_diagonal(self) -> jnp.ndarray:
+        s = self.free_mask
+        return self.diagonal() * s + (1.0 - s)
+
+    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """r -> M^-1 r; internal layout, phase-wise contiguous math."""
+        bd = np.asarray(self.block_diagonal_internal())  # (n_nodes, 3, 3)
+        shapes = self._phase_shapes()
+        offs = self._phase_offsets()
+        # constrain blocks with the mask, then invert per node (host, once)
+        mask = np.asarray(self.free_mask)
+        node_pos = 0
+        masked = bd.copy()
+        for i, s in enumerate(shapes):
+            cnt = s[0] * s[1] * s[2]
+            m = mask[offs[i] : offs[i + 1]].reshape(3, cnt).T  # (cnt, 3)
+            blk = masked[node_pos : node_pos + cnt]
+            blk *= m[:, :, None] * m[:, None, :]
+            blk += (1.0 - m)[:, :, None] * np.eye(3, dtype=bd.dtype)
+            node_pos += cnt
+        binv = np.linalg.inv(masked)  # (n_nodes, 3, 3), host, once
+
+        # per-phase (3, 3, cnt) inverse tensors for contiguous application
+        binv_phases = []
+        node_pos = 0
+        for s in shapes:
+            cnt = s[0] * s[1] * s[2]
+            binv_phases.append(jnp.asarray(np.transpose(binv[node_pos : node_pos + cnt], (1, 2, 0))))
+            node_pos += cnt
+
+        shapes_j = shapes
+        offs_j = offs
+
+        def apply_minv(r):
+            outs = []
+            for i in range(8):
+                cnt = shapes_j[i][0] * shapes_j[i][1] * shapes_j[i][2]
+                rp = r[offs_j[i] : offs_j[i + 1]].reshape(3, cnt)
+                B = binv_phases[i]
+                z = jnp.stack([
+                    B[0, 0] * rp[0] + B[0, 1] * rp[1] + B[0, 2] * rp[2],
+                    B[1, 0] * rp[0] + B[1, 1] * rp[1] + B[1, 2] * rp[2],
+                    B[2, 0] * rp[0] + B[2, 1] * rp[1] + B[2, 2] * rp[2],
+                ])
+                outs.append(z.reshape(-1))
+            return jnp.concatenate(outs)
+
+        return apply_minv

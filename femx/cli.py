@@ -1,0 +1,238 @@
+"""femx command-line interface — the headless front-end to both pipelines.
+
+The reference app is driven by a Qt GUI (FEM_main.py); femx provides the
+same workflows headlessly (the GUI layer in femx.ui wraps these):
+
+  python -m femx mesh-box --dims 0.8 0.2 0.8 --mesh-size 0.05 \
+      --force 0,3000,0@0.4,0.2,0.4 --fix 0.0,0.0,0.0:xyz -o mesh.msh
+  python -m femx solid --msh mesh.msh --E 2e11 --nu 0.3 \
+      --force 0,3000,0@0.4,0.2,0.4 --fix 0,0,0:xyz --report out.md
+  python -m femx beam --msh frame.msh --E 2e11 --nu 0.3 --rho 7850 \
+      --section 'beam=I section:d=0.05,b=0.025,t_w=0.005,t_f=0.005,r=0.001' \
+      --fix-group fix:xyzXYZ --force-group load_y=0,-3000,0 --report out.md
+  python -m femx section --type 'I section' --params d=0.05,b=0.025,...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List
+
+
+def _parse_vec3(s: str) -> List[float]:
+    return [float(v) for v in s.split(",")]
+
+
+def _parse_force_at(s: str):
+    vec, pos = s.split("@")
+    f = _parse_vec3(vec)
+    p = _parse_vec3(pos)
+    return {
+        "force_x": f[0], "force_y": f[1], "force_z": f[2],
+        "force_x_pstn": p[0], "force_y_pstn": p[1], "force_z_pstn": p[2],
+    }
+
+
+def _parse_fix_at(s: str):
+    pos, axes = s.split(":") if ":" in s else (s, "xyz")
+    p = _parse_vec3(pos)
+    axes = axes.lower()
+    return {
+        "pos_x": p[0], "pos_y": p[1], "pos_z": p[2],
+        "fix_x": 0 if "x" in axes else None,
+        "fix_y": 0 if "y" in axes else None,
+        "fix_z": 0 if "z" in axes else None,
+    }
+
+
+def _parse_params(s: str) -> dict:
+    out = {}
+    for kv in s.split(","):
+        k, v = kv.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def _parse_section(s: str) -> dict:
+    head, params = s.split(":", 1)
+    group, stype = head.split("=", 1)
+    p = _parse_params(params)
+    rotate = bool(p.pop("rotate", 0))
+    return {"group": group, "type": stype, "params": p, "rotate": rotate}
+
+
+def _parse_fix_group(s: str) -> dict:
+    group, axes = s.split(":")
+    low = axes
+    return {
+        "group": group, "type": "Fix",
+        "fix_x": "x" in low, "fix_y": "y" in low, "fix_z": "z" in low,
+        "fix_rx": "X" in axes, "fix_ry": "Y" in axes, "fix_rz": "Z" in axes,
+    }
+
+
+def _parse_force_group(s: str) -> dict:
+    group, vec = s.split("=")
+    f = _parse_vec3(vec)
+    return {"group": group, "type": "Force", "force_x": f[0], "force_y": f[1], "force_z": f[2]}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="femx", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
+                    help="device platform: beam/section default to cpu (small, "
+                         "host-latency-bound); solid defaults to the accelerator")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    mb = sub.add_parser("mesh-box", help="generate a structured Tetra10 box mesh")
+    mb.add_argument("--dims", nargs=3, type=float, required=True, metavar=("X", "Y", "Z"))
+    mb.add_argument("--mesh-size", type=float, required=True)
+    mb.add_argument("--force", action="append", default=[], help="fx,fy,fz@x,y,z")
+    mb.add_argument("--fix", action="append", default=[], help="x,y,z[:axes]")
+    mb.add_argument("-o", "--output", default="generated_mesh.msh")
+
+    so = sub.add_parser("solid", help="3D solid reaction-force analysis")
+    so.add_argument("--msh", help=".msh input (omit with --box to generate)")
+    so.add_argument("--box", nargs=3, type=float, metavar=("X", "Y", "Z"))
+    so.add_argument("--mesh-size", type=float, default=0.05)
+    so.add_argument("--E", type=float, required=True)
+    so.add_argument("--nu", type=float, required=True)
+    so.add_argument("--force", action="append", default=[], required=False)
+    so.add_argument("--fix", action="append", default=[], required=False)
+    so.add_argument("--solver", choices=["auto", "dense", "cg"], default="auto")
+    so.add_argument("--compat-quadrature-bug", action="store_true",
+                    help="reproduce the reference's w=1/4 Tet10 weight")
+    so.add_argument("--report", default=None)
+    so.add_argument("--plot", default=None, help="save result view PNG")
+
+    be = sub.add_parser("beam", help="3D Timoshenko frame analysis")
+    be.add_argument("--msh", required=True)
+    be.add_argument("--E", type=float, required=True)
+    be.add_argument("--nu", type=float, required=True)
+    be.add_argument("--rho", type=float, default=7850.0)
+    be.add_argument("--mass", choices=["lumped", "consistent"], default="lumped")
+    be.add_argument("--section", action="append", default=[],
+                    help="group=TYPE:k=v,... (e.g. beam=I section:d=0.05,b=0.025,t_w=0.005,t_f=0.005)")
+    be.add_argument("--fix-group", action="append", default=[], help="group:xyzXYZ")
+    be.add_argument("--force-group", action="append", default=[], help="group=fx,fy,fz")
+    be.add_argument("--section-method", choices=["auto", "fem", "closed_form"], default="auto")
+    be.add_argument("--report", default=None)
+    be.add_argument("--json", action="store_true", help="print results as JSON")
+
+    se = sub.add_parser("section", help="compute section properties")
+    se.add_argument("--type", required=True)
+    se.add_argument("--params", required=True)
+    se.add_argument("--rotate", action="store_true")
+    se.add_argument("--method", choices=["auto", "fem", "closed_form"], default="auto")
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    platform = args.platform
+    if platform == "auto" and args.cmd in ("beam", "section", "mesh-box"):
+        platform = "cpu"
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "mesh-box":
+        from femx.mesh import box_tet10, write_msh
+
+        mesh = box_tet10(
+            *args.dims, mesh_size=args.mesh_size,
+            force_points=[_parse_force_at(f) and _parse_vec3(f.split("@")[1]) for f in args.force],
+            fix_points=[_parse_vec3(f.split(":")[0]) for f in args.fix],
+        )
+        write_msh(args.output, mesh)
+        print(f"Wrote {args.output}: {mesh.num_nodes} nodes, "
+              f"{len(mesh.cells['tetra10'])} tetra10 elements")
+        return 0
+
+    if args.cmd == "solid":
+        from femx.analysis import SolidReactionAnalysis
+        from femx.config import ReferenceCompat
+        from femx.mesh import box_tet10, read_msh
+
+        forces = [_parse_force_at(f) for f in args.force]
+        fixes = [_parse_fix_at(f) for f in args.fix]
+        if args.msh:
+            mesh = read_msh(args.msh)
+        elif args.box:
+            mesh = box_tet10(
+                *args.box, mesh_size=args.mesh_size,
+                force_points=[[f["force_x_pstn"], f["force_y_pstn"], f["force_z_pstn"]] for f in forces],
+                fix_points=[[f["pos_x"], f["pos_y"], f["pos_z"]] for f in fixes],
+            )
+        else:
+            print("error: provide --msh or --box", file=sys.stderr)
+            return 2
+        compat = ReferenceCompat(tet10_quadrature_weight_bug=args.compat_quadrature_bug)
+        fa = SolidReactionAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
+                                   compat=compat, solver=args.solver)
+        fa.run_simulation(report=bool(args.report),
+                          report_path=args.report or "FEM_Report.md")
+        if args.plot:
+            fa.plot(show_window=False, filename=args.plot)
+            print(f"Saved result view to {args.plot}")
+        return 0
+
+    if args.cmd == "beam":
+        from femx.analysis import BeamAnalysis
+        from femx.mesh import read_msh
+
+        mesh = read_msh(args.msh)
+        section_data = [_parse_section(s) for s in args.section]
+        bc_data = [_parse_fix_group(s) for s in args.fix_group] + [
+            _parse_force_group(s) for s in args.force_group
+        ]
+        ba = BeamAnalysis(mesh, section_data, bc_data, E=args.E, nu=args.nu,
+                          rho=args.rho, mass=args.mass, section_method=args.section_method)
+        res = ba.run()
+        import numpy as np
+
+        if args.json:
+            print(json.dumps({
+                "max_displacement": float(np.abs(res.u.reshape(-1, 6)[:, :3]).max()),
+                "max_stress_mpa": float(res.smoothed_stresses.max() / 1e6),
+                "frequencies_hz": [float(f) for f in res.natural_frequencies_hz[:10]],
+            }))
+        else:
+            disp = res.u.reshape(-1, 6)[:, :3]
+            mags = np.linalg.norm(disp, axis=1)
+            imax = int(np.argmax(mags))
+            print(f"Max displacement: {mags[imax]:.4e} m at node {imax}")
+            smax = int(np.argmax(res.smoothed_stresses))
+            print(f"Max stress: {res.smoothed_stresses[smax] / 1e6:.4f} MPa at node {smax}")
+            print("Natural frequencies (Hz):",
+                  ", ".join(f"{f:.4f}" for f in res.natural_frequencies_hz[:10]))
+        if args.report:
+            from femx.report import beam_report
+
+            out = beam_report(ba, res, args.report)
+            print(f"Report written to {out}")
+        return 0
+
+    if args.cmd == "section":
+        from femx.sections import compute_properties
+
+        p = compute_properties(args.type, _parse_params(args.params),
+                               rotate=args.rotate, method=args.method)
+        print(json.dumps({
+            "A": p.A, "I_x": p.I_x, "I_y": p.I_y, "J": p.J,
+            "kappa_y": p.kappa_y, "kappa_z": p.kappa_z,
+            "c_y_max": p.c_y_max, "c_z_max": p.c_z_max,
+        }))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

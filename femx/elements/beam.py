@@ -42,10 +42,11 @@ _K_ENTRIES = [
     (10, 2, 7, -1), (10, 4, 9, +1), (10, 8, 7, +1), (10, 10, 8, +1),
 ]
 
+# Kept as numpy at module scope: materializing a device array at import time
+# would initialize a JAX backend before callers can select a platform.
 _K_PLACE = np.zeros((144, 10))
 for _i, _j, _c, _s in _K_ENTRIES:
     _K_PLACE[_i * 12 + _j, _c] = _s
-_K_PLACE = jnp.asarray(_K_PLACE)
 
 
 def _safe_div(num, den):
@@ -78,7 +79,7 @@ def timoshenko_stiffness(L, E, G, A, I_x, I_y, J, kappa_y, kappa_z):
     comps = jnp.stack(
         [_safe_div(A * E, L), _safe_div(G * J, L), *kz, *ky]
     )
-    return (_K_PLACE @ comps).reshape(12, 12)
+    return (jnp.asarray(_K_PLACE, dtype=comps.dtype) @ comps).reshape(12, 12)
 
 
 def lumped_mass(L, A, I_x, I_y, J, rho):

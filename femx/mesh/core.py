@@ -49,6 +49,9 @@ class Mesh:
     cells: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     cell_physical: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     field_data: Dict[str, Tuple[int, int]] = dataclasses.field(default_factory=dict)
+    # Optional structured-lattice metadata (StructuredBoxInfo) set by
+    # generators; enables the gather-free stiffness operator.
+    structured: object = None
 
     @property
     def num_nodes(self) -> int:

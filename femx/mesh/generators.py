@@ -61,6 +61,37 @@ def tet4_to_tet10(points: np.ndarray, conn4: np.ndarray) -> Tuple[np.ndarray, np
     return all_points, conn10
 
 
+class StructuredBoxInfo:
+    """Lattice metadata for a structured box Tetra10 mesh.
+
+    Node numbering IS the raster order of the half-spaced ("doubled")
+    lattice: node id = flat index of integer position (p, q, r) in a grid of
+    shape (2nx+1, 2ny+1, 2nz+1), coordinate = origin + (p,q,r) * h/2.
+    Every lattice position is a mesh node (corners at even positions,
+    Tet10 midside nodes at the odd ones) — this is what makes the
+    gather-free structured stiffness operator possible
+    (femx.assembly_structured).
+    """
+
+    def __init__(self, n_cells, spacing, origin):
+        self.n_cells = tuple(int(v) for v in n_cells)  # (nx, ny, nz)
+        self.spacing = tuple(float(v) for v in spacing)  # cell size per axis
+        self.origin = tuple(float(v) for v in origin)
+
+    @property
+    def grid_shape(self):
+        return tuple(2 * n + 1 for n in self.n_cells)
+
+    @property
+    def num_nodes(self):
+        P = self.grid_shape
+        return P[0] * P[1] * P[2]
+
+    def node_id(self, p, q, r):
+        P = self.grid_shape
+        return (np.asarray(p) * P[1] + np.asarray(q)) * P[2] + np.asarray(r)
+
+
 def box_tet10(
     x: float,
     y: float,
@@ -75,34 +106,47 @@ def box_tet10(
     Drop-in functional replacement for the reference's gmsh box workflow
     (gmsh_creation.py:18-108): returns a Mesh with physical groups
     "box" (3D, tetra10), "Neumann_BCs" (0D vertices at force points) and
-    "Diri_BCs" (0D vertices at fix points).
+    "Diri_BCs" (0D vertices at fix points). Nodes are numbered in
+    half-spaced-lattice raster order (see StructuredBoxInfo); the Mesh
+    carries a `structured` attribute enabling the gather-free stiffness
+    operator on TPU.
     """
     dims = np.array([x, y, z], dtype=np.float64)
     n = np.maximum(1, np.round(dims / mesh_size).astype(int))
     nx, ny, nz = int(n[0]), int(n[1]), int(n[2])
+    h = dims / n
+    info = StructuredBoxInfo((nx, ny, nz), h, origin)
 
-    xs = np.linspace(0, x, nx + 1)
-    ys = np.linspace(0, y, ny + 1)
-    zs = np.linspace(0, z, nz + 1)
-    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1) + np.asarray(origin)
+    Px, Py, Pz = info.grid_shape
+    ps = np.arange(Px) * (h[0] / 2)
+    qs = np.arange(Py) * (h[1] / 2)
+    rs = np.arange(Pz) * (h[2] / 2)
+    X, Y, Z = np.meshgrid(ps, qs, rs, indexing="ij")
+    all_points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1) + np.asarray(origin)
 
-    def nid(i, j, k):
-        return (i * (ny + 1) + j) * (nz + 1) + k
-
+    # Corner tets in doubled-lattice coordinates (cell corner = (2i,2j,2k)).
     I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
-    I, J, K = I.ravel(), J.ravel(), K.ravel()
+    I, J, K = 2 * I.ravel(), 2 * J.ravel(), 2 * K.ravel()
     tets = []
     for path in _KUHN_PATHS:
-        corners = [nid(I + b[0], J + b[1], K + b[2]) for b in path]
-        tets.append(np.stack(corners, axis=1))
-    conn4 = np.concatenate(tets, axis=0)
-    vols = _tet4_volumes(points, conn4)
+        corners = [np.stack([I + 2 * b[0], J + 2 * b[1], K + 2 * b[2]], axis=1) for b in path]
+        tets.append(np.stack(corners, axis=1))  # (C, 4, 3) doubled coords
+    tet_pqr = np.concatenate(tets, axis=0)
+    conn4 = info.node_id(tet_pqr[:, :, 0], tet_pqr[:, :, 1], tet_pqr[:, :, 2])
+    vols = _tet4_volumes(all_points, conn4)
     # Make every tet positively oriented (detJ > 0) by swapping two vertices.
     neg = vols < 0
     conn4[neg] = conn4[neg][:, [0, 2, 1, 3]]
 
-    all_points, conn10 = tet4_to_tet10(points, conn4)
+    # Midside node = lattice midpoint of each Tet10 edge (exact integer
+    # position in doubled coordinates — no node-merging pass needed).
+    conn4 = conn4.astype(np.int64)
+    pqr = np.stack(np.unravel_index(conn4, info.grid_shape), axis=-1)  # (C,4,3)
+    mids = []
+    for a, b in TET10_EDGES:
+        mid = (pqr[:, a] + pqr[:, b]) // 2
+        mids.append(info.node_id(mid[:, 0], mid[:, 1], mid[:, 2]))
+    conn10 = np.concatenate([conn4, np.stack(mids, axis=1)], axis=1).astype(np.int32)
 
     cells = {"tetra10": conn10}
     phys = {"tetra10": np.ones(len(conn10), dtype=np.int32)}
@@ -126,6 +170,7 @@ def box_tet10(
         phys["vertex"] = np.asarray(vertex_phys, dtype=np.int32)
 
     mesh = Mesh(points=all_points, cells=cells, cell_physical=phys, field_data=field_data)
+    mesh.structured = info  # enables the gather-free structured operator
     mesh.validate()
     return mesh
 

@@ -1,0 +1,254 @@
+"""Analysis report generation (Markdown native; .docx when python-docx exists).
+
+Reference parity: the reference emits two Word reports —
+`ReportGenerator.create_report` for the solid pipeline
+(ReactionSolver.py:309-431: results image, E/nu, mesh stats, BC list,
+Jacobian quality check, reaction table with total) and
+`BeamAnalysisWindow.create_report` for the beam pipeline
+(BeamSolver.py:483-560: mesh stats, material, BC table, static plot,
+per-node displacement/stress table, modal table first 10, first-5 mode
+plots). femx reproduces both layouts; python-docx is absent in this
+environment, so Markdown (with embedded PNG references) is the native
+format and .docx is produced when the library is importable.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+try:
+    import docx  # noqa: F401
+
+    DOCX_AVAILABLE = True
+except ImportError:
+    DOCX_AVAILABLE = False
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.4e}"
+
+
+def solid_report(analysis, filename: str = "FEM_Report.md", image: bool = True) -> str:
+    """Solid reaction-analysis report (layout of ReactionSolver.py:315-431)."""
+    lines: List[str] = []
+    lines.append("# Finite Element Analysis Report\n")
+
+    if image:
+        img_path = os.path.splitext(filename)[0] + "_iso_view.png"
+        try:
+            from femx.viz import plot_solid_results
+
+            plot_solid_results(analysis, factor=1.0, show_window=False, filename=img_path)
+            lines.append("## Results Overview (Isometric View)\n")
+            lines.append("Deformed shape with displacement magnitude.\n")
+            lines.append(f"![results]({os.path.basename(img_path)})\n")
+        except Exception as e:  # viz failure must not kill the report
+            lines.append(f"_Could not generate result image: {e}_\n")
+
+    lines.append("## Analysis Parameters\n")
+    lines.append(f"- **Young's Modulus (E):** {analysis.E:.2e} Pa")
+    lines.append(f"- **Poisson's Ratio (v):** {analysis.v}\n")
+
+    lines.append("## Mesh Information\n")
+    lines.append(f"- **Total Nodes:** {analysis.num_nodes}")
+    lines.append("- **Element Type:** 10-Node Quadratic Tetrahedron (Tetra10)")
+    lines.append(f"- **Total Elements:** {len(analysis.tetra10_conn)}\n")
+
+    lines.append("## Boundary Conditions\n")
+    lines.append("### Applied Loads\n")
+    if not analysis.force_data:
+        lines.append("- No loads applied.")
+    for i, fi in enumerate(analysis.force_data):
+        vec = (fi["force_x"], fi["force_y"], fi["force_z"])
+        pos = (fi["force_x_pstn"], fi["force_y_pstn"], fi["force_z_pstn"])
+        lines.append(f"- **Load {i + 1}:** Force (Fx, Fy, Fz) = {vec} N @ point {pos} m")
+    lines.append("\n### Fixed Supports (Constraints)\n")
+    for i, fx in enumerate(analysis.fix_data):
+        pos = (fx["pos_x"], fx["pos_y"], fx["pos_z"])
+        dofs = [d for d, c in zip("XYZ", (fx.get("fix_x"), fx.get("fix_y"), fx.get("fix_z"))) if c == 0]
+        lines.append(f"- Fix Point {i + 1} at {pos}: Constrained DOFs [{', '.join(dofs)}]")
+
+    lines.append("\n## Mesh Quality Check\n")
+    count = analysis.negative_detJ_count
+    if count > 0:
+        lines.append(
+            f"- **Warning:** {count} integration points with non-positive Jacobian "
+            "determinant (detJ <= 0) — distorted elements may reduce accuracy."
+        )
+    else:
+        lines.append("- All elements passed the Jacobian determinant check (all detJ > 0).")
+
+    lines.append("\n## Reaction Force Results\n")
+    if analysis.reaction_forces is None:
+        lines.append("Reaction forces were not calculated.")
+    else:
+        lines.append("| Fix Point | Node ID | Rx (N) | Ry (N) | Rz (N) |")
+        lines.append("|---|---|---|---|---|")
+        total = np.zeros(3)
+        for i, info in enumerate(analysis.fixed_nodes_info):
+            n = info["node_idx"]
+            r = analysis.reaction_forces[3 * n : 3 * n + 3]
+            total += r
+            lines.append(f"| {i + 1} | {n} | {_fmt(r[0])} | {_fmt(r[1])} | {_fmt(r[2])} |")
+        lines.append(f"| **Total Reaction** | | {_fmt(total[0])} | {_fmt(total[1])} | {_fmt(total[2])} |")
+        lines.append(
+            "\nNote: for static equilibrium the Total Reaction equals the "
+            "negative of the summed applied forces."
+        )
+    if getattr(analysis, "solve_info", None):
+        lines.append("\n## Solver\n")
+        for k, v in analysis.solve_info.items():
+            lines.append(f"- **{k}:** {v}")
+        for k, v in getattr(analysis, "stage_times", {}).items():
+            lines.append(f"- **t_{k}:** {v:.3f} s")
+
+    text = "\n".join(lines) + "\n"
+    if filename.endswith(".docx") and DOCX_AVAILABLE:
+        _markdown_ish_to_docx(text, filename)
+    else:
+        if filename.endswith(".docx"):
+            filename = os.path.splitext(filename)[0] + ".md"
+        with open(filename, "w") as f:
+            f.write(text)
+    return filename
+
+
+def beam_report(
+    analysis,
+    results,
+    filename: str = "beam_analysis_report.md",
+    max_table_nodes: Optional[int] = None,
+    plots: bool = True,
+) -> str:
+    """Beam analysis report (layout of BeamSolver.py:496-560)."""
+    mesh = analysis.mesh
+    lines: List[str] = []
+    lines.append("# 3D Beam Analysis Report\n")
+    lines.append(f"_Report generated on: {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}_\n")
+
+    lines.append("## 1. Model Information\n")
+    lines.append("**Mesh Details**\n")
+    lines.append(f"- Number of Nodes: {len(analysis.points)}")
+    lines.append(f"- Number of Elements: {len(analysis.conn)}\n")
+    lines.append("**Material Properties**\n")
+    lines.append(f"- Young's Modulus (E): {analysis.E:,.2e} Pa")
+    lines.append(f"- Poisson's Ratio (nu): {analysis.nu}")
+    lines.append(f"- Density (rho): {analysis.rho} kg/m^3\n")
+
+    lines.append("**Boundary Conditions & Loads**\n")
+    lines.append("| Group | Type | Details |")
+    lines.append("|---|---|---|")
+    for item in analysis.bc_data:
+        if item["type"] == "Fix":
+            fixes = [f for f in ["X", "Y", "Z", "RX", "RY", "RZ"] if item.get(f"fix_{f.lower()}")]
+            det = f"Fixed DOFs: {', '.join(fixes) or 'None'}"
+        else:
+            det = f"Fx={item.get('force_x', 0)}, Fy={item.get('force_y', 0)}, Fz={item.get('force_z', 0)}"
+        lines.append(f"| {item['group']} | {item['type']} | {det} |")
+
+    lines.append("\n**Sections**\n")
+    for sec in analysis.section_data:
+        ps = ", ".join(f"{k}={v}" for k, v in sec["params"].items())
+        rot = ", rotated" if sec.get("rotate") else ""
+        lines.append(f"- {sec['group']}: {sec['type']}{rot}, {ps}")
+
+    lines.append("\n## 2. Static Analysis Results\n")
+    base = os.path.splitext(filename)[0]
+    if plots:
+        try:
+            from femx.viz import save_beam_static_plot
+
+            img = base + "_static.png"
+            save_beam_static_plot(analysis, results, img)
+            lines.append("Deformation and Stress Contour Plot:\n")
+            lines.append(f"![static]({os.path.basename(img)})\n")
+        except Exception as e:
+            lines.append(f"_Plot unavailable: {e}_\n")
+
+    lines.append("Nodal displacement and stress results:\n")
+    lines.append("| Node ID | X (m) | Y (m) | Z (m) | Disp X (m) | Disp Y (m) | Disp Z (m) | Stress (MPa) |")
+    lines.append("|---|---|---|---|---|---|---|---|")
+    u = results.u
+    n_rows = len(analysis.points) if max_table_nodes is None else min(max_table_nodes, len(analysis.points))
+    for i in range(n_rows):
+        p = analysis.points[i]
+        lines.append(
+            f"| {i} | {p[0]:.4f} | {p[1]:.4f} | {p[2]:.4f} | "
+            f"{u[6 * i]:.4e} | {u[6 * i + 1]:.4e} | {u[6 * i + 2]:.4e} | "
+            f"{results.smoothed_stresses[i] / 1e6:.4f} |"
+        )
+
+    lines.append("\n## 3. Modal Analysis Results\n")
+    lines.append("| Mode | Frequency (rad/s) | Frequency (Hz) |")
+    lines.append("|---|---|---|")
+    for i, w in enumerate(results.natural_frequencies[:10]):
+        lines.append(f"| {i + 1} | {w:.4f} | {w / (2 * np.pi):.4f} |")
+
+    if plots:
+        try:
+            from femx.viz import save_beam_modal_plot
+
+            lines.append("\nMode Shape Plots:\n")
+            for m in range(1, min(5, results.mode_shapes.shape[1]) + 1):
+                img = f"{base}_mode{m}.png"
+                save_beam_modal_plot(analysis, results, m, img)
+                lines.append(f"![mode{m}]({os.path.basename(img)})")
+        except Exception as e:
+            lines.append(f"_Mode plots unavailable: {e}_")
+
+    text = "\n".join(lines) + "\n"
+    if filename.endswith(".docx") and DOCX_AVAILABLE:
+        _markdown_ish_to_docx(text, filename)
+    else:
+        if filename.endswith(".docx"):
+            filename = os.path.splitext(filename)[0] + ".md"
+        with open(filename, "w") as f:
+            f.write(text)
+    return filename
+
+
+def _markdown_ish_to_docx(text: str, filename: str) -> None:
+    """Minimal Markdown -> docx renderer (headings, bullets, tables, images)."""
+    from docx import Document
+    from docx.shared import Inches
+
+    doc = Document()
+    table_buf: List[List[str]] = []
+
+    def flush_table():
+        nonlocal table_buf
+        if not table_buf:
+            return
+        rows = [r for r in table_buf if not set("".join(r)) <= {"-", " ", ":"}]
+        t = doc.add_table(rows=0, cols=len(rows[0]))
+        t.style = "Table Grid"
+        for r in rows:
+            cells = t.add_row().cells
+            for c, v in zip(cells, r):
+                c.text = v.strip().strip("*")
+        table_buf = []
+
+    for line in text.splitlines():
+        if line.startswith("|"):
+            table_buf.append([c for c in line.strip("|").split("|")])
+            continue
+        flush_table()
+        if line.startswith("# "):
+            doc.add_heading(line[2:], 0)
+        elif line.startswith("## "):
+            doc.add_heading(line[3:], level=1)
+        elif line.startswith("### "):
+            doc.add_heading(line[4:], level=2)
+        elif line.startswith("!["):
+            path = line[line.find("(") + 1 : line.find(")")]
+            if os.path.exists(path):
+                doc.add_picture(path, width=Inches(6.0))
+        elif line.strip():
+            doc.add_paragraph(line)
+    flush_table()
+    doc.save(filename)

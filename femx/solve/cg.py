@@ -66,17 +66,20 @@ def pcg(
 
     def cond(state):
         _x, r, _p, _z, rz, k = state
-        return jnp.logical_and(jnp.vdot(r, r) > atol2, k < maxiter)
+        rr = jnp.vdot(r, r)
+        ok = jnp.isfinite(rr) & (rz > 0)  # breakdown guard (fp32 robustness)
+        return ok & (rr > atol2) & (k < maxiter)
 
     def body(state):
         x, r, p, z, rz, k = state
         Ap = A(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = Minv(r)
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
+        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
         p = z + beta * p
         return (x, r, p, z, rz_new, k + 1)
 
