@@ -1,0 +1,220 @@
+"""Geometric multigrid preconditioner for the structured solid operator.
+
+The structural analog of the reference's SuperLU direct factorization
+(ReactionSolver.py:201) at scales where a direct solve is impossible:
+a symmetric V-cycle (damped block-Jacobi smoothing, trilinear transfers on
+the nested half-spaced lattices, dense-Cholesky coarsest solve) used as the
+preconditioner of CG. Iteration counts drop from O(thousands) with
+block-Jacobi alone to O(tens), independent of mesh size — which is what
+makes the <2 s / 1M-DOF north star reachable in float32 on one chip.
+
+Grid hierarchy: cell counts halve per level while all axes are even
+(choose benchmark grids with power-of-two-friendly cell counts for the
+deepest hierarchy). Transfers: fine lattice positions at even doubled
+coordinates coincide with coarse nodes; odd positions interpolate the two
+axis neighbors — composed per axis, restriction is exactly the transpose
+(keeps the V-cycle SPD so standard CG applies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from femx.assembly_structured import StructuredSolidOperator
+
+
+# ---------------------------------------------------------------------------
+# Full-grid <-> internal phase layout
+# ---------------------------------------------------------------------------
+def _join_full(op: StructuredSolidOperator, u: jnp.ndarray) -> jnp.ndarray:
+    """Internal phase vector -> (3, Px, Py, Pz) doubled-lattice grid."""
+    Px, Py, Pz = op.grid_shape
+    G = jnp.zeros((3, Px, Py, Pz), dtype=u.dtype)
+    phases = op._split_phases(u)
+    i = 0
+    for px in (0, 1):
+        for py in (0, 1):
+            for pz in (0, 1):
+                G = G.at[:, px::2, py::2, pz::2].set(phases[i])
+                i += 1
+    return G
+
+
+def _split_full(op: StructuredSolidOperator, G: jnp.ndarray) -> jnp.ndarray:
+    parts = []
+    for px in (0, 1):
+        for py in (0, 1):
+            for pz in (0, 1):
+                parts.append(G[:, px::2, py::2, pz::2].reshape(-1))
+    return jnp.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# Trilinear transfers on nested doubled lattices
+# ---------------------------------------------------------------------------
+def _interp_axis(G: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Coarse grid (n points along axis) -> fine (2n-1): copy + midpoints."""
+    G = jnp.moveaxis(G, axis, -1)
+    mid = 0.5 * (G[..., :-1] + G[..., 1:])
+    inter = jnp.stack([G[..., :-1], mid], axis=-1).reshape(*G.shape[:-1], -1)
+    out = jnp.concatenate([inter, G[..., -1:]], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _restrict_axis(G: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Transpose of _interp_axis: out[q] = F[2q] + 0.5*(F[2q-1] + F[2q+1])."""
+    G = jnp.moveaxis(G, axis, -1)
+    even = G[..., ::2]
+    odd = G[..., 1::2]
+    pad = [(0, 0)] * (G.ndim - 1)
+    left = jnp.pad(odd, pad + [(1, 0)])
+    right = jnp.pad(odd, pad + [(0, 1)])
+    out = even + 0.5 * (left + right)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def prolong(G_coarse: jnp.ndarray) -> jnp.ndarray:
+    for ax in (1, 2, 3):
+        G_coarse = _interp_axis(G_coarse, ax)
+    return G_coarse
+
+
+def restrict(G_fine: jnp.ndarray) -> jnp.ndarray:
+    for ax in (1, 2, 3):
+        G_fine = _restrict_axis(G_fine, ax)
+    return G_fine
+
+
+# ---------------------------------------------------------------------------
+# The V-cycle preconditioner
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class _Level:
+    op: StructuredSolidOperator
+    minv: Callable  # block-Jacobi inverse (constrained)
+
+
+class StructuredMultigrid:
+    """Symmetric V-cycle preconditioner M^-1 for CG on the structured mesh.
+
+    Args:
+      dims: (X, Y, Z) box dimensions.
+      n_cells: finest cell counts (nx, ny, nz).
+      E, nu: material; weight: Tet10 quadrature weight.
+      free_mask_global: (ndof,) 1/0 mask in mesh (lattice raster) DOF order.
+      n_smooth: damped-Jacobi sweeps pre & post (same count keeps symmetry).
+      omega: smoother damping.
+      coarse_dof_limit: dense-Cholesky coarsest solve below this size.
+    """
+
+    def __init__(
+        self,
+        dims,
+        n_cells,
+        E,
+        nu,
+        free_mask_global,
+        weight=None,
+        dtype=np.float32,
+        n_smooth: int = 2,
+        omega: float = 0.7,
+        coarse_dof_limit: int = 12000,
+        min_levels: int = 1,
+    ):
+        from femx.mesh.generators import box_tet10
+
+        self.n_smooth = n_smooth
+        self.omega = omega
+        self.levels: List[_Level] = []
+        self._masks_grid: List[np.ndarray] = []
+
+        n = tuple(int(v) for v in n_cells)
+        mask_grid = np.asarray(free_mask_global, dtype=np.float64).reshape(
+            2 * n[0] + 1, 2 * n[1] + 1, 2 * n[2] + 1, 3
+        )
+        meshes = []
+        while True:
+            mesh = _box_with_cells(dims, n)
+            meshes.append((mesh, mask_grid))
+            ndof = 3 * mesh.num_nodes
+            if ndof <= coarse_dof_limit or any(c % 2 for c in n) or min(n) <= 2:
+                break
+            n = tuple(c // 2 for c in n)
+            mask_grid = mask_grid[::2, ::2, ::2]
+
+        for mesh, mgrid in meshes:
+            op = StructuredSolidOperator.from_mesh(mesh, E, nu, weight=weight, dtype=dtype)
+            m_int = op.to_internal(mgrid.reshape(-1))
+            op = op.with_free_mask(jnp.asarray(m_int, dtype=op.Kcell.dtype))
+            self.levels.append(_Level(op=op, minv=op.block_jacobi_preconditioner()))
+
+        # Coarsest: dense masked Cholesky in the coarse op's internal order.
+        cmesh, cmask = meshes[-1]
+        cop = self.levels[-1].op
+        K = _dense_structured_K(cmesh, E, nu, cop.weight)
+        perm = cop._permutation()
+        Kp = K[np.ix_(perm, perm)]
+        m = np.asarray(cop.free_mask, dtype=np.float64)
+        Kp = Kp * m[:, None] * m[None, :] + np.diag(1.0 - m)
+        L = np.linalg.cholesky(Kp)
+        self._chol = jnp.asarray(L.astype(dtype))
+
+    def _coarse_solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        y = jax.scipy.linalg.solve_triangular(self._chol, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(self._chol.T, y, lower=False)
+
+    def _smooth(self, lvl: _Level, x, b, sweeps: int):
+        for _ in range(sweeps):
+            x = x + self.omega * lvl.minv(b - lvl.op.apply_constrained(x))
+        return x
+
+    def _vcycle(self, k: int, b: jnp.ndarray) -> jnp.ndarray:
+        lvl = self.levels[k]
+        if k == len(self.levels) - 1:
+            return self._coarse_solve(b)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, self.n_smooth)
+        r = b - lvl.op.apply_constrained(x)
+        nxt = self.levels[k + 1]
+        r_coarse = _split_full(nxt.op, restrict(_join_full(lvl.op, r))) * nxt.op.free_mask
+        e_coarse = self._vcycle(k + 1, r_coarse)
+        x = x + _split_full(lvl.op, prolong(_join_full(nxt.op, e_coarse))) * lvl.op.free_mask
+        return self._smooth(lvl, x, b, self.n_smooth)
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Preconditioner application M^-1 r (internal layout of the finest
+        operator) — pass as M_inv_diag to femx.solve.cg.pcg."""
+        return self._vcycle(0, r)
+
+    @property
+    def fine_op(self) -> StructuredSolidOperator:
+        return self.levels[0].op
+
+
+def _box_with_cells(dims, n_cells):
+    """box_tet10 with exact cell counts (bypasses mesh_size rounding)."""
+    from femx.mesh.generators import box_tet10
+
+    # pick a mesh_size that rounds to the requested counts on every axis
+    ms = min(d / c for d, c in zip(dims, n_cells))
+    mesh = box_tet10(*dims, mesh_size=ms)
+    if mesh.structured.n_cells != tuple(n_cells):
+        raise ValueError(
+            f"cannot realize cell counts {n_cells} for dims {dims} "
+            f"(got {mesh.structured.n_cells})"
+        )
+    return mesh
+
+
+def _dense_structured_K(mesh, E, nu, weight) -> np.ndarray:
+    from femx.assembly import SolidOperator, assemble_dense, dof_map
+    from femx.elements.tet10 import material_matrix
+
+    C = material_matrix(float(E), float(nu), dtype=jnp.float64)
+    op, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C, weight=weight)
+    K = assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 3 * mesh.num_nodes)
+    return np.asarray(K)
