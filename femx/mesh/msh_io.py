@@ -6,8 +6,9 @@ format 4.1 written by gmsh itself (e.g. /root/reference/cantilever_beam) and
 format 2.2 as a simple interchange format. Only the sections the solvers need
 are parsed ($PhysicalNames, $Entities, $Nodes, $Elements); others are skipped.
 
-An optional C++ fast path (femx.mesh._native) accelerates tokenization of
-large files; the numpy path is the reference implementation.
+An optional C++ fast path (femx._native, built from native/fast_tokens.cpp)
+accelerates tokenization of large files; the numpy path is the reference
+implementation.
 """
 
 from __future__ import annotations
@@ -21,30 +22,36 @@ from femx.mesh.core import GMSH_TYPE_TO_NAME, NAME_TO_GMSH_TYPE, NODES_PER_CELL,
 
 
 class _Tokens:
-    """Whitespace token stream over the non-string portion of a .msh file."""
+    """Numeric token stream over a purely-numeric .msh section body.
 
-    def __init__(self, toks: List[str]):
-        self.toks = toks
+    Backed by one bulk parse into float64 (C++ fast path via femx._native
+    when built, numpy otherwise) — integer tags up to 2^53 are exact in
+    float64, far beyond any practical node count.
+    """
+
+    def __init__(self, body: str):
+        from femx._native import parse_numbers
+
+        self.a = parse_numbers(body)
         self.i = 0
 
-    def next(self) -> str:
-        t = self.toks[self.i]
-        self.i += 1
-        return t
-
     def next_int(self) -> int:
-        return int(self.next())
+        v = int(self.a[self.i])
+        self.i += 1
+        return v
 
     def next_float(self) -> float:
-        return float(self.next())
+        v = float(self.a[self.i])
+        self.i += 1
+        return v
 
     def take_ints(self, n: int) -> np.ndarray:
-        out = np.array(self.toks[self.i : self.i + n], dtype=np.int64)
+        out = self.a[self.i : self.i + n].astype(np.int64)
         self.i += n
         return out
 
     def take_floats(self, n: int) -> np.ndarray:
-        out = np.array(self.toks[self.i : self.i + n], dtype=np.float64)
+        out = self.a[self.i : self.i + n]
         self.i += n
         return out
 
@@ -79,7 +86,7 @@ def _parse_physical_names(body: str) -> Dict[str, Tuple[int, int]]:
 
 def _parse_entities_41(body: str) -> Dict[Tuple[int, int], List[int]]:
     """Entity (dim, tag) -> list of physical tags, from a 4.1 $Entities body."""
-    t = _Tokens(body.split())
+    t = _Tokens(body)
     counts = [t.next_int() for _ in range(4)]  # points, curves, surfaces, volumes
     ent_phys: Dict[Tuple[int, int], List[int]] = {}
     # Points: tag x y z numPhys phys...
@@ -107,7 +114,7 @@ def _read_msh41(sections: Dict[str, str]) -> Mesh:
     ent_phys = _parse_entities_41(sections["Entities"]) if "Entities" in sections else {}
 
     # --- $Nodes: numBlocks numNodes minTag maxTag; blocks of tagged nodes ---
-    t = _Tokens(sections["Nodes"].split())
+    t = _Tokens(sections["Nodes"])
     num_blocks, num_nodes, min_tag, max_tag = (t.next_int() for _ in range(4))
     tags = np.empty(num_nodes, dtype=np.int64)
     coords = np.empty((num_nodes, 3), dtype=np.float64)
@@ -125,7 +132,7 @@ def _read_msh41(sections: Dict[str, str]) -> Mesh:
     tag_to_idx[tags] = np.arange(num_nodes)
 
     # --- $Elements: numBlocks numElements minTag maxTag; typed blocks ---
-    t = _Tokens(sections["Elements"].split())
+    t = _Tokens(sections["Elements"])
     num_blocks, _num_elems, _mn, _mx = (t.next_int() for _ in range(4))
     cells: Dict[str, List[np.ndarray]] = {}
     phys: Dict[str, List[np.ndarray]] = {}
@@ -153,7 +160,7 @@ def _read_msh22(sections: Dict[str, str]) -> Mesh:
     field_data = (
         _parse_physical_names(sections["PhysicalNames"]) if "PhysicalNames" in sections else {}
     )
-    t = _Tokens(sections["Nodes"].split())
+    t = _Tokens(sections["Nodes"])
     num_nodes = t.next_int()
     rows = t.take_floats(4 * num_nodes).reshape(num_nodes, 4)
     tags = rows[:, 0].astype(np.int64)
@@ -161,7 +168,7 @@ def _read_msh22(sections: Dict[str, str]) -> Mesh:
     tag_to_idx = np.full(tags.max() + 1, -1, dtype=np.int64)
     tag_to_idx[tags] = np.arange(num_nodes)
 
-    t = _Tokens(sections["Elements"].split())
+    t = _Tokens(sections["Elements"])
     num_elems = t.next_int()
     cells: Dict[str, List[np.ndarray]] = {}
     phys: Dict[str, List[np.ndarray]] = {}

@@ -1,0 +1,277 @@
+"""GUI view-models: the reference windows' data/controller logic, headless.
+
+The reference couples its data model to PyQt5 widgets
+(ReactionForceCalculatorWindow FEM_main.py:105-396, BeamAnalysisWindow
+BeamSolver.py:176-465). femx separates them: these classes hold the state,
+CRUD operations, display-string formatting, and pipeline invocation — fully
+testable without Qt — and femx.ui.qt binds them to widgets when PyQt5 is
+available. Defaults, list formats, and validation semantics mirror the
+reference exactly (pre-seeded 0.8x0.2x0.8 box case FEM_main.py:115-130;
+list strings FEM_main.py:152-179 / BeamSolver.py:283-298).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from femx.config import DEFAULT_COMPAT, ReferenceCompat
+from femx.mesh import Mesh, box_tet10, read_msh, write_msh
+
+SECTION_TYPES = [
+    "I section",
+    "C section",
+    "L section",
+    "hollow box section",
+    "rectangular section",
+    "circular section",
+    "hollow circular section",
+]
+
+# Launcher options (reference: FEM_calc.ui:97-111); only the first two are
+# implemented — the rest open an empty placeholder, like the reference
+# (FEM_main.py:412-431).
+PRODUCT_OPTIONS = [
+    "Reaction Force Calculator",
+    "Beam analysis",
+    "Shaft modal",
+    "2D Static Analysis",
+    "Pipe Thermal Stress Analysis",
+]
+IMPLEMENTED_PRODUCTS = PRODUCT_OPTIONS[:2]
+
+
+class ReactionCalculatorModel:
+    """State + operations of the 'Reaction Force Calculator' window."""
+
+    def __init__(self):
+        # Pre-seeded defaults (reference: FEM_main.py:115-130)
+        self.system_data = {"x": 0.8, "y": 0.2, "z": 0.8, "mesh": 0.05}
+        self.force_data_list: List[dict] = [
+            {"force_x": 0.0, "force_y": 3000.0, "force_z": 0.0,
+             "force_x_pstn": 0.4, "force_y_pstn": 0.2, "force_z_pstn": 0.4}
+        ]
+        self.fix_data_list: List[dict] = [
+            {"pos_x": 0.0, "pos_y": 0.0, "pos_z": 0.0, "fix_x": 0, "fix_y": 0, "fix_z": 0},
+            {"pos_x": 0.0, "pos_y": 0.0, "pos_z": 0.8, "fix_x": 0, "fix_y": 0, "fix_z": 0},
+            {"pos_x": 0.8, "pos_y": 0.0, "pos_z": 0.0, "fix_x": 0, "fix_y": 0, "fix_z": 0},
+            {"pos_x": 0.8, "pos_y": 0.0, "pos_z": 0.8, "fix_x": 0, "fix_y": 0, "fix_z": 0},
+        ]
+        self.youngs_modul = 2e11
+        self.poisson_ratio = 0.3
+        self.mesh_file = "generated_mesh.msh"
+        self.analysis_instance = None
+        self._generated_mesh: Optional[Mesh] = None
+
+    # -- list view (reference: _refresh_list_view FEM_main.py:152-179) ------
+    def list_items(self) -> List[str]:
+        items = []
+        if self.system_data:
+            s = self.system_data
+            items.append(
+                f"System Size: ({s['x']}, {s['y']}, {s['z']}), Mesh Size: {s['mesh']}"
+            )
+        for i, fd in enumerate(self.force_data_list):
+            items.append(
+                f"Force {i + 1}: ({fd['force_x']}, {fd['force_y']}, {fd['force_z']}) "
+                f"@ Pos: ({fd['force_x_pstn']}, {fd['force_y_pstn']}, {fd['force_z_pstn']})"
+            )
+        for i, fx in enumerate(self.fix_data_list):
+            axes = [a for a, k in zip("XYZ", ("fix_x", "fix_y", "fix_z")) if fx[k] == 0]
+            items.append(
+                f"Fix {i + 1}: Pos ({fx['pos_x']}, {fx['pos_y']}, {fx['pos_z']}) "
+                f"- Fixed Dof: [{', '.join(axes) if axes else 'None'}]"
+            )
+        return items
+
+    # -- CRUD ---------------------------------------------------------------
+    def set_system(self, x: float, y: float, z: float, mesh: float) -> None:
+        self.system_data = {"x": float(x), "y": float(y), "z": float(z), "mesh": float(mesh)}
+
+    def add_force(self, force_xyz, pos_xyz) -> None:
+        fx, fy, fz = (float(v) for v in force_xyz)
+        px, py, pz = (float(v) for v in pos_xyz)
+        self.force_data_list.append(
+            {"force_x": fx, "force_y": fy, "force_z": fz,
+             "force_x_pstn": px, "force_y_pstn": py, "force_z_pstn": pz}
+        )
+
+    def add_fix(self, pos_xyz, fix_x: bool, fix_y: bool, fix_z: bool) -> None:
+        # checked => 0 (fixed), unchecked => None (free): FEM_main.py:236-238
+        px, py, pz = (float(v) for v in pos_xyz)
+        self.fix_data_list.append(
+            {"pos_x": px, "pos_y": py, "pos_z": pz,
+             "fix_x": 0 if fix_x else None,
+             "fix_y": 0 if fix_y else None,
+             "fix_z": 0 if fix_z else None}
+        )
+
+    def remove_item(self, row: int) -> bool:
+        """Row indices follow list_items(): 0 = system (not removable),
+        then forces, then fixes."""
+        n_f = len(self.force_data_list)
+        if row <= 0:
+            return False
+        if row <= n_f:
+            self.force_data_list.pop(row - 1)
+            return True
+        idx = row - 1 - n_f
+        if idx < len(self.fix_data_list):
+            self.fix_data_list.pop(idx)
+            return True
+        return False
+
+    # -- pipeline -----------------------------------------------------------
+    def generate_mesh(self, write: bool = True) -> Mesh:
+        """Structured-box equivalent of the gmsh step (gmsh_creation.py)."""
+        s = self.system_data
+        mesh = box_tet10(
+            s["x"], s["y"], s["z"], s["mesh"],
+            force_points=[(f["force_x_pstn"], f["force_y_pstn"], f["force_z_pstn"])
+                          for f in self.force_data_list],
+            fix_points=[(f["pos_x"], f["pos_y"], f["pos_z"]) for f in self.fix_data_list],
+        )
+        self._generated_mesh = mesh
+        if write:
+            write_msh(self.mesh_file, mesh)
+        return mesh
+
+    def run_analysis(self, compat: ReferenceCompat = DEFAULT_COMPAT, verbose: bool = True,
+                     report: bool = False):
+        from femx.analysis import ForceAnalysis
+
+        mesh = self._generated_mesh
+        if mesh is None:
+            mesh = read_msh(self.mesh_file)
+        self.analysis_instance = ForceAnalysis(
+            mesh, self.force_data_list, self.fix_data_list,
+            E=self.youngs_modul, v=self.poisson_ratio, compat=compat, verbose=verbose,
+        )
+        self.analysis_instance.run_simulation(report=report)
+        return self.analysis_instance
+
+    def plot_results(self, filename: str = "fem_result.png", show_window: bool = False):
+        if self.analysis_instance is None:
+            raise RuntimeError("Run the analysis first.")
+        return self.analysis_instance.plot(show_window=show_window, filename=filename)
+
+
+class BeamAnalysisModel:
+    """State + operations of the 'Beam analysis' window."""
+
+    def __init__(self):
+        self.mesh: Optional[Mesh] = None
+        self.mesh_path: Optional[str] = None
+        self.section_data: List[dict] = []
+        self.bc_data: List[dict] = []
+        self.E: Optional[float] = None
+        self.nu: Optional[float] = None
+        self.rho: float = 7850.0  # the reference's (hardcoded) default
+        self.results = None
+        self.analysis = None
+
+    # -- mesh ---------------------------------------------------------------
+    def load_mesh(self, path_or_mesh) -> List[str]:
+        """Load a .msh; returns physical group names for the combo boxes
+        (reference: BeamSolver.py:207-220). Raises on missing 'line' cells."""
+        mesh = path_or_mesh if isinstance(path_or_mesh, Mesh) else read_msh(path_or_mesh)
+        if mesh.cells.get("line") is None:
+            raise ValueError("No 'line' elements in .msh file.")
+        self.mesh = mesh
+        self.mesh_path = None if isinstance(path_or_mesh, Mesh) else str(path_or_mesh)
+        self.section_data.clear()
+        self.bc_data.clear()
+        return list(mesh.field_data.keys())
+
+    # -- CRUD (reference: assign_beam_section/assign_bc/edit/remove) --------
+    def assign_section(self, group: str, section_type: str, params: dict,
+                       rotate: bool = False, overwrite: bool = True) -> bool:
+        exists = any(d["group"] == group for d in self.section_data)
+        if exists and not overwrite:
+            return False
+        self.section_data = [d for d in self.section_data if d["group"] != group]
+        self.section_data.append(
+            {"group": group, "type": section_type, "params": dict(params), "rotate": rotate}
+        )
+        return True
+
+    def assign_bc(self, group: str, data: dict, overwrite: bool = True) -> bool:
+        exists = any(d["group"] == group for d in self.bc_data)
+        if exists and not overwrite:
+            return False
+        self.bc_data = [d for d in self.bc_data if d["group"] != group]
+        item = dict(data)
+        item["group"] = group
+        self.bc_data.append(item)
+        return True
+
+    def remove_item(self, row: int) -> bool:
+        n_s = len(self.section_data)
+        if 0 <= row < n_s:
+            self.section_data.pop(row)
+            return True
+        if 0 <= row - n_s < len(self.bc_data):
+            self.bc_data.pop(row - n_s)
+            return True
+        return False
+
+    def list_items(self) -> List[str]:
+        """Display strings (reference: update_list_view BeamSolver.py:283-298)."""
+        out = []
+        for item in self.section_data:
+            params_str = ", ".join(f"{k}={v}" for k, v in item["params"].items())
+            rot = ", rotated" if item.get("rotate") else ""
+            out.append(f"[Section] {item['group']}: {item['type']}{rot}, {params_str}")
+        for item in self.bc_data:
+            if item["type"] == "Fix":
+                fixes = [f for f in ["X", "Y", "Z", "RX", "RY", "RZ"]
+                         if item.get(f"fix_{f.lower()}")]
+                det = f"Fix ({', '.join(fixes) or 'None'})"
+            else:
+                det = (f"Force F=({item.get('force_x', 0)}, "
+                       f"{item.get('force_y', 0)}, {item.get('force_z', 0)})")
+            out.append(f"[BC] {item['group']}: {det}")
+        return out
+
+    # -- pipeline -----------------------------------------------------------
+    def run_simulation(self, E: float, nu: float, rho: Optional[float] = None,
+                       mass: str = "lumped", section_method: str = "auto"):
+        from femx.analysis import BeamAnalysis
+
+        if self.mesh is None:
+            raise RuntimeError("Please load a mesh file first.")
+        self.E, self.nu = float(E), float(nu)
+        if rho is not None:
+            self.rho = float(rho)
+        self.analysis = BeamAnalysis(
+            self.mesh, self.section_data, self.bc_data,
+            E=self.E, nu=self.nu, rho=self.rho, mass=mass, section_method=section_method,
+        )
+        self.results = self.analysis.run()
+        return self.results
+
+    def create_report(self, path: str):
+        from femx.report import beam_report
+
+        if self.results is None:
+            raise RuntimeError("Run the simulation first.")
+        return beam_report(self.analysis, self.results, path)
+
+    def plot_static(self, filename: str):
+        from femx.viz import save_beam_static_plot
+
+        return save_beam_static_plot(self.analysis, self.results, filename)
+
+    def plot_modal(self, mode_num: int, filename: str):
+        from femx.viz import save_beam_modal_plot
+
+        return save_beam_modal_plot(self.analysis, self.results, mode_num, filename)
+
+    def preview_sections(self, filename: str = "section_preview.png"):
+        from femx.viz_sections import plot_extruded_sections
+
+        if self.mesh is None or not self.section_data:
+            raise RuntimeError("Please load a mesh and assign sections first.")
+        return plot_extruded_sections(self.mesh, self.section_data, filename=filename)

@@ -1,0 +1,93 @@
+"""Auxiliary subsystem tests: profiling, checkpoint/resume, report files."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from femx.checkpoint import load_state, pcg_checkpointed, save_state
+from femx.profiling import reset_stages, stage, stage_report, timeit
+
+
+def test_stage_timers():
+    reg = {}
+    import collections
+
+    reg = collections.defaultdict(list)
+    with stage("work", registry=reg):
+        sum(range(1000))
+    with stage("work", registry=reg):
+        sum(range(1000))
+    rep = stage_report(reg)
+    assert rep["work"]["calls"] == 2
+    assert rep["work"]["total_s"] > 0
+
+
+def test_timeit_blocks():
+    import jax
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    out = timeit(f, jnp.ones(16), reps=2)
+    assert out["first_s"] >= out["steady_s"] > 0
+    np.testing.assert_allclose(np.asarray(out["output"]), 3.0)
+
+
+def test_save_load_state(tmp_path):
+    p = str(tmp_path / "ckpt")
+    save_state(p, {"x": np.arange(5.0)}, {"iterations": 7})
+    arrays, meta = load_state(p)
+    np.testing.assert_array_equal(arrays["x"], np.arange(5.0))
+    assert meta["iterations"] == 7
+    assert load_state(str(tmp_path / "missing")) == (None, None)
+
+
+def test_pcg_checkpointed_resume(tmp_path):
+    """Chunked CG converges, writes checkpoints, and resumes mid-solve."""
+    rng = np.random.default_rng(0)
+    n = 200
+    Q = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    A_mat = Q @ np.diag(np.linspace(1.0, 500.0, n)) @ Q.T
+    A_j = jnp.asarray(A_mat)
+    b = jnp.asarray(rng.normal(size=n))
+    A = lambda v: A_j @ v
+
+    p = str(tmp_path / "cg")
+    res = pcg_checkpointed(A, b, tol=1e-10, maxiter=2000, chunk=25, checkpoint_path=p)
+    assert bool(res.converged)
+    x_direct = np.linalg.solve(A_mat, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=1e-6)
+    arrays, meta = load_state(p)
+    assert meta["iterations"] == int(res.iterations)
+
+    # simulate a crash mid-solve: seed a partial checkpoint, resume to finish
+    partial = pcg_checkpointed(A, b, tol=1e-10, maxiter=30, chunk=25, checkpoint_path=p + "2")
+    assert not bool(partial.converged)
+    resumed = pcg_checkpointed(A, b, tol=1e-10, maxiter=2000, chunk=25, checkpoint_path=p + "2")
+    assert bool(resumed.converged)
+    np.testing.assert_allclose(np.asarray(resumed.x), x_direct, rtol=1e-6)
+
+
+def test_solid_report_file(tmp_path):
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh import box_tet10
+
+    mesh = box_tet10(0.4, 0.2, 0.4, 0.2,
+                     force_points=[(0.2, 0.2, 0.2)],
+                     fix_points=[(0, 0, 0), (0, 0, 0.4), (0.4, 0, 0), (0.4, 0, 0.4)])
+    fa = SolidReactionAnalysis(
+        mesh,
+        [{"force_x": 0, "force_y": 3000.0, "force_z": 0,
+          "force_x_pstn": 0.2, "force_y_pstn": 0.2, "force_z_pstn": 0.2}],
+        [{"pos_x": x, "pos_y": 0, "pos_z": z, "fix_x": 0, "fix_y": 0, "fix_z": 0}
+         for x, z in [(0, 0), (0, 0.4), (0.4, 0), (0.4, 0.4)]],
+        E=2e11, v=0.3, verbose=False)
+    fa.run_simulation(report=True, report_path=str(tmp_path / "FEM_Report.md"))
+    text = (tmp_path / "FEM_Report.md").read_text()
+    # the reference report's section inventory (ReactionSolver.py:315-330)
+    for heading in ("Analysis Parameters", "Mesh Information", "Boundary Conditions",
+                    "Mesh Quality Check", "Reaction Force Results"):
+        assert heading in text
+    assert "Total Reaction" in text
+    assert (tmp_path / "FEM_Report_iso_view.png").exists()
