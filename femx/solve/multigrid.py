@@ -29,28 +29,62 @@ from femx.assembly_structured import StructuredSolidOperator
 
 
 # ---------------------------------------------------------------------------
-# Full-grid <-> internal phase layout
+# Contiguity helpers: every transfer/join/split op below is expressed as
+# reshapes + middle-axis slices + concatenations — no strided slicing and no
+# transposes, which on TPU cost 1-2 orders of magnitude more than the math.
 # ---------------------------------------------------------------------------
+def _axis_split(G: jnp.ndarray, axis: int):
+    """(..., 2n+1, ...) -> even part (n+1) and odd part (n) along `axis`."""
+    n = (G.shape[axis] - 1) // 2
+    lead = int(np.prod(G.shape[:axis], dtype=np.int64))
+    trail = int(np.prod(G.shape[axis + 1 :], dtype=np.int64))
+    R = G.reshape(lead, G.shape[axis], trail)
+    pairs = R[:, : 2 * n, :].reshape(lead, n, 2, trail)
+    even = jnp.concatenate([pairs[:, :, 0, :], R[:, 2 * n :, :]], axis=1)
+    odd = pairs[:, :, 1, :]
+    sh = list(G.shape)
+    sh[axis] = n + 1
+    sh_o = list(G.shape)
+    sh_o[axis] = n
+    return even.reshape(sh), odd.reshape(sh_o)
+
+
+def _axis_interleave(even: jnp.ndarray, odd: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inverse of _axis_split: interleave (n+1) evens with (n) odds -> 2n+1."""
+    n = odd.shape[axis]
+    lead = int(np.prod(even.shape[:axis], dtype=np.int64))
+    trail = int(np.prod(even.shape[axis + 1 :], dtype=np.int64))
+    E = even.reshape(lead, n + 1, trail)
+    O = odd.reshape(lead, n, trail)
+    inter = jnp.stack([E[:, :n, :], O], axis=2).reshape(lead, 2 * n, trail)
+    out = jnp.concatenate([inter, E[:, n:, :]], axis=1)
+    sh = list(even.shape)
+    sh[axis] = 2 * n + 1
+    return out.reshape(sh)
+
+
 def _join_full(op: StructuredSolidOperator, u: jnp.ndarray) -> jnp.ndarray:
     """Internal phase vector -> (3, Px, Py, Pz) doubled-lattice grid."""
-    Px, Py, Pz = op.grid_shape
-    G = jnp.zeros((3, Px, Py, Pz), dtype=u.dtype)
-    phases = op._split_phases(u)
-    i = 0
-    for px in (0, 1):
-        for py in (0, 1):
-            for pz in (0, 1):
-                G = G.at[:, px::2, py::2, pz::2].set(phases[i])
-                i += 1
-    return G
+    phases = op._split_phases(u)  # index px*4 + py*2 + pz
+
+    def merge(a, b, axis):
+        return _axis_interleave(a, b, axis)
+
+    # merge z (axis 3), then y (axis 2), then x (axis 1)
+    m_z = [merge(phases[i], phases[i + 1], 3) for i in (0, 2, 4, 6)]
+    m_y = [merge(m_z[i], m_z[i + 1], 2) for i in (0, 2)]
+    return merge(m_y[0], m_y[1], 1)
 
 
 def _split_full(op: StructuredSolidOperator, G: jnp.ndarray) -> jnp.ndarray:
+    x0, x1 = _axis_split(G, 1)
     parts = []
-    for px in (0, 1):
-        for py in (0, 1):
-            for pz in (0, 1):
-                parts.append(G[:, px::2, py::2, pz::2].reshape(-1))
+    for gx in (x0, x1):
+        y0, y1 = _axis_split(gx, 2)
+        for gy in (y0, y1):
+            z0, z1 = _axis_split(gy, 3)
+            parts.append(z0.reshape(-1))
+            parts.append(z1.reshape(-1))
     return jnp.concatenate(parts)
 
 
@@ -59,23 +93,31 @@ def _split_full(op: StructuredSolidOperator, G: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 def _interp_axis(G: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Coarse grid (n points along axis) -> fine (2n-1): copy + midpoints."""
-    G = jnp.moveaxis(G, axis, -1)
-    mid = 0.5 * (G[..., :-1] + G[..., 1:])
-    inter = jnp.stack([G[..., :-1], mid], axis=-1).reshape(*G.shape[:-1], -1)
-    out = jnp.concatenate([inter, G[..., -1:]], axis=-1)
-    return jnp.moveaxis(out, -1, axis)
+    n = G.shape[axis]
+    lead = int(np.prod(G.shape[:axis], dtype=np.int64))
+    trail = int(np.prod(G.shape[axis + 1 :], dtype=np.int64))
+    R = G.reshape(lead, n, trail)
+    mid = 0.5 * (R[:, :-1, :] + R[:, 1:, :])
+    inter = jnp.stack([R[:, :-1, :], mid], axis=2).reshape(lead, 2 * (n - 1), trail)
+    out = jnp.concatenate([inter, R[:, -1:, :]], axis=1)
+    sh = list(G.shape)
+    sh[axis] = 2 * n - 1
+    return out.reshape(sh)
 
 
 def _restrict_axis(G: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Transpose of _interp_axis: out[q] = F[2q] + 0.5*(F[2q-1] + F[2q+1])."""
-    G = jnp.moveaxis(G, axis, -1)
-    even = G[..., ::2]
-    odd = G[..., 1::2]
-    pad = [(0, 0)] * (G.ndim - 1)
-    left = jnp.pad(odd, pad + [(1, 0)])
-    right = jnp.pad(odd, pad + [(0, 1)])
-    out = even + 0.5 * (left + right)
-    return jnp.moveaxis(out, -1, axis)
+    even, odd = _axis_split(G, axis)
+    lead = int(np.prod(even.shape[:axis], dtype=np.int64))
+    trail = int(np.prod(even.shape[axis + 1 :], dtype=np.int64))
+    n = odd.shape[axis]
+    E = even.reshape(lead, n + 1, trail)
+    O = odd.reshape(lead, n, trail)
+    zero = jnp.zeros((lead, 1, trail), dtype=G.dtype)
+    left = jnp.concatenate([zero, O], axis=1)
+    right = jnp.concatenate([O, zero], axis=1)
+    out = E + 0.5 * (left + right)
+    return out.reshape(even.shape)
 
 
 def prolong(G_coarse: jnp.ndarray) -> jnp.ndarray:

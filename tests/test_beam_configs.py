@@ -1,0 +1,116 @@
+"""BASELINE.json beam configurations: simply-supported cases, EB limit,
+all section types through the static pipeline."""
+
+import numpy as np
+import pytest
+
+from femx.analysis import BeamAnalysis
+from femx.mesh import FrameBuilder
+from femx.sections import compute_properties
+
+E, NU = 2e11, 0.3
+G = E / (2 * (1 + NU))
+
+
+def _simply_supported(n_elems=8, section=("rectangular section", {"d": 0.1, "b": 0.05}),
+                      method="closed_form"):
+    L = 4.0
+    fb = FrameBuilder()
+    a = fb.add_node((0, 0, 0))
+    b = fb.add_node((L, 0, 0))
+    chain = fb.add_member(a, b, "beam", n_elems=n_elems)
+    mid = chain[len(chain) // 2]
+    fb.add_vertex_group("pin", [a])
+    fb.add_vertex_group("roller", [b])
+    fb.add_vertex_group("mid", [mid])
+    mesh = fb.build()
+    # pin: fix x,y,z (+torsion rx to remove the rigid mode); roller: y,z
+    bc = [
+        {"group": "pin", "type": "Fix", "fix_x": True, "fix_y": True, "fix_z": True,
+         "fix_rx": True},
+        {"group": "roller", "type": "Fix", "fix_y": True, "fix_z": True},
+        {"group": "mid", "type": "Force", "force_x": 0.0, "force_y": -10000.0, "force_z": 0.0},
+    ]
+    stype, params = section
+    ba = BeamAnalysis(mesh, [{"group": "beam", "type": stype, "params": params}],
+                      bc, E=E, nu=NU, rho=7850.0, section_method=method)
+    return ba, mesh, mid, L
+
+
+def test_simply_supported_center_deflection():
+    """Midspan deflection PL^3/48EI + shear PL/4kAG (Timoshenko exact at
+    nodes for point loads)."""
+    ba, mesh, mid, L = _simply_supported()
+    res = ba.run()
+    p = compute_properties("rectangular section", {"d": 0.1, "b": 0.05}, method="closed_form")
+    P = -10000.0
+    analytic = P * L**3 / (48 * E * p.I_y) + P * L / (4 * p.kappa_y * p.A * G)
+    assert res.u[6 * mid + 1] == pytest.approx(analytic, rel=1e-9)
+
+
+def test_simply_supported_reactions_split_evenly():
+    ba, mesh, mid, L = _simply_supported()
+    res = ba.run()
+    r = res.reactions()
+    assert r[6 * 0 + 1] == pytest.approx(5000.0, rel=1e-9)
+    assert r[6 * 1 + 1] == pytest.approx(5000.0, rel=1e-9)
+
+
+@pytest.mark.parametrize("stype,params", [
+    ("I section", {"d": 0.2, "b": 0.1, "t_f": 0.012, "t_w": 0.008, "r": 0.0}),
+    ("C section", {"d": 0.15, "b": 0.075, "t_f": 0.01, "t_w": 0.006, "r": 0.0}),
+    ("L section", {"d": 0.1, "b": 0.075, "t": 0.008, "r_r": 0.0, "r_t": 0.0}),
+    ("hollow box section", {"d": 0.1, "b": 0.06, "t": 0.005, "r_out": 0.0}),
+    ("rectangular section", {"d": 0.1, "b": 0.05}),
+    ("circular section", {"d": 0.1}),
+    ("hollow circular section", {"d": 0.1, "t": 0.01}),
+])
+def test_all_section_types_static(stype, params):
+    """Every reference section type runs through the static pipeline with
+    finite displacements and exact nodal deflection for its own properties."""
+    ba, mesh, mid, L = _simply_supported(section=(stype, params), method="closed_form")
+    res = ba.run()
+    p = compute_properties(stype, params, method="closed_form")
+    P = -10000.0
+    analytic = P * L**3 / (48 * E * p.I_y) + P * L / (4 * p.kappa_y * p.A * G)
+    assert res.u[6 * mid + 1] == pytest.approx(analytic, rel=1e-8)
+    assert np.isfinite(res.smoothed_stresses).all()
+
+
+def test_euler_bernoulli_limit():
+    """As kappa*A -> infinity the Timoshenko element must reduce to
+    Euler-Bernoulli: tip deflection -> PL^3/3EI exactly (SURVEY.md §4)."""
+    from femx.elements import beam as beam_el
+    import jax.numpy as jnp
+
+    L, P = 2.0, -1000.0
+    I = 1e-6
+    A_huge = 1e9  # kappa*A*G >> bending stiffness
+    ke = np.asarray(beam_el.timoshenko_stiffness(L, E, G, A_huge, I, I, 1e-6, 1.0, 1.0))
+    # cantilever: clamp node 1, tip load in y at node 2
+    free = np.arange(6, 12)
+    Kff = ke[np.ix_(free, free)]
+    f = np.zeros(6)
+    f[1] = P
+    u = np.linalg.solve(Kff, f)
+    assert u[1] == pytest.approx(P * L**3 / (3 * E * I), rel=1e-6)
+
+
+def test_rotated_section_swaps_bending_axis():
+    """rotate=True must swap the bending stiffness axes end-to-end."""
+    ba1, mesh, mid, L = _simply_supported(section=("rectangular section", {"d": 0.1, "b": 0.05}))
+    u1 = ba1.run().u[6 * mid + 1]
+    fb_params = {"d": 0.1, "b": 0.05}
+    ba2, mesh2, mid2, _ = _simply_supported(section=("rectangular section", fb_params))
+    ba2.section_data[0]["rotate"] = True
+    u2 = ba2.run().u[6 * mid2 + 1]
+    p = compute_properties("rectangular section", fb_params, method="closed_form")
+    pr = compute_properties("rectangular section", fb_params, rotate=True, method="closed_form")
+    P, L = -10000.0, 4.0
+
+    def analytic(props):
+        return P * L**3 / (48 * E * props.I_y) + P * L / (4 * props.kappa_y * props.A * G)
+
+    assert u1 == pytest.approx(analytic(p), rel=1e-9)
+    assert u2 == pytest.approx(analytic(pr), rel=1e-9)
+    assert abs(u2) < abs(u1)  # rotation put the strong axis in bending
