@@ -195,6 +195,43 @@ class StructuredSolidOperator:
         v = self.apply(u * s) * s
         return v + u * (1.0 - s)
 
+    # -- pytree-of-phases interface (multi-chip / GSPMD path) ---------------
+    # Each phase grid (3, sx, sy, sz) can carry its own NamedSharding (e.g.
+    # sharded along z); the slot slices/overlap-adds below then partition
+    # under jit into local slices + XLA-inserted halo exchanges over ICI —
+    # the structured-mesh analogue of sequence/context parallelism.
+    def mask_phases(self):
+        return self._split_phases_list(self.free_mask)
+
+    def _split_phases_list(self, u: jnp.ndarray):
+        return self._split_phases(u)
+
+    def apply_phases(self, phases):
+        """K @ u on a list of 8 phase grids; returns the same structure."""
+        nx, ny, nz = self.n_cells
+        C = nx * ny * nz
+        slots = []
+        for (a, b, c) in _SLOTS:
+            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
+            ia, jb, kc = a // 2, b // 2, c // 2
+            slots.append(phases[pidx][:, ia : ia + nx, jb : jb + ny, kc : kc + nz])
+        ue = jnp.stack(slots).reshape(81, C)
+        fe = jax.lax.dot(
+            self.Kcell, ue, precision=jax.lax.Precision.HIGHEST
+        ).reshape(27, 3, nx, ny, nz)
+        out = [jnp.zeros_like(g) for g in phases]
+        for s, (a, b, c) in enumerate(_SLOTS):
+            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
+            ia, jb, kc = a // 2, b // 2, c // 2
+            out[pidx] = out[pidx].at[:, ia : ia + nx, jb : jb + ny, kc : kc + nz].add(fe[s])
+        return out
+
+    def apply_constrained_phases(self, phases):
+        m = self.mask_phases()
+        masked = [p * s for p, s in zip(phases, m)]
+        v = self.apply_phases(masked)
+        return [vi * s + p * (1.0 - s) for vi, s, p in zip(v, m, phases)]
+
     # -- preconditioning ----------------------------------------------------
     def block_diagonal_internal(self) -> jnp.ndarray:
         """(n_nodes, 3, 3) nodal diagonal blocks, nodes in internal order."""

@@ -18,10 +18,25 @@ import jax.numpy as jnp
 
 
 class CGResult(NamedTuple):
-    x: jnp.ndarray
+    x: jnp.ndarray  # solution (same pytree structure as b)
     iterations: jnp.ndarray
     residual_norm: jnp.ndarray  # ||b - A x|| / ||b||
     converged: jnp.ndarray
+
+
+# -- pytree vector algebra: pcg works on arbitrary pytrees of arrays (e.g.
+#    the structured operator's phase-grid lists under GSPMD sharding) -------
+def _tvdot(a, b):
+    parts = jax.tree.leaves(jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b))
+    return sum(parts[1:], parts[0])
+
+
+def _taxpy(alpha, x, y):  # y + alpha * x
+    return jax.tree.map(lambda xi, yi: yi + alpha * xi, x, y)
+
+
+def _tscale_add(z, beta, p):  # z + beta * p
+    return jax.tree.map(lambda zi, pi: zi + beta * pi, z, p)
 
 
 def _as_precond(M_inv) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -29,8 +44,8 @@ def _as_precond(M_inv) -> Callable[[jnp.ndarray], jnp.ndarray]:
         return lambda r: r
     if callable(M_inv):
         return M_inv
-    minv = jnp.asarray(M_inv)
-    return lambda r: minv * r
+    minv = jax.tree.map(jnp.asarray, M_inv)
+    return lambda r: jax.tree.map(lambda m, ri: m * ri, minv, r)
 
 
 def pcg(
@@ -51,40 +66,40 @@ def pcg(
         identity if None.
       tol: relative residual target ||r|| <= tol * ||b||.
     """
-    b = jnp.asarray(b)
-    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    b = jax.tree.map(jnp.asarray, b)
+    x = jax.tree.map(jnp.zeros_like, b) if x0 is None else jax.tree.map(jnp.asarray, x0)
     Minv = _as_precond(M_inv_diag)
 
-    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.sqrt(_tvdot(b, b))
     bnorm_safe = jnp.where(bnorm > 0, bnorm, 1.0)
     atol2 = (tol * bnorm_safe) ** 2
 
-    r = b - A(x)
+    r = jax.tree.map(lambda bi, ai: bi - ai, b, A(x))
     z = Minv(r)
     p = z
-    rz = jnp.vdot(r, z)
+    rz = _tvdot(r, z)
 
     def cond(state):
         _x, r, _p, _z, rz, k = state
-        rr = jnp.vdot(r, r)
+        rr = _tvdot(r, r)
         ok = jnp.isfinite(rr) & (rz > 0)  # breakdown guard (fp32 robustness)
         return ok & (rr > atol2) & (k < maxiter)
 
     def body(state):
         x, r, p, z, rz, k = state
         Ap = A(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = _tvdot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        x = _taxpy(alpha, p, x)
+        r = _taxpy(-alpha, Ap, r)
         z = Minv(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _tvdot(r, z)
         beta = jnp.where(rz > 0, rz_new / rz, 0.0)
-        p = z + beta * p
+        p = _tscale_add(z, beta, p)
         return (x, r, p, z, rz_new, k + 1)
 
     x, r, p, z, rz, k = jax.lax.while_loop(cond, body, (x, r, p, z, rz, jnp.array(0)))
-    res = jnp.linalg.norm(r) / bnorm_safe
+    res = jnp.sqrt(_tvdot(r, r)) / bnorm_safe
     return CGResult(x=x, iterations=k, residual_norm=res, converged=res <= tol)
 
 
@@ -106,11 +121,12 @@ def pcg_refined(
     result = pcg(A, b, M_inv_diag, tol=tol, maxiter=maxiter)
     x, total_it = result.x, result.iterations
     for _ in range(refine_steps):
-        r = b - A(x)
+        r = jax.tree.map(lambda bi, ai: bi - ai, b, A(x))
         corr = pcg(A, r, M_inv_diag, tol=tol, maxiter=maxiter)
-        x = x + corr.x
+        x = _taxpy(1.0, corr.x, x)
         total_it = total_it + corr.iterations
-    bnorm = jnp.linalg.norm(b)
+    r = jax.tree.map(lambda bi, ai: bi - ai, b, A(x))
+    bnorm = jnp.sqrt(_tvdot(b, b))
     bnorm_safe = jnp.where(bnorm > 0, bnorm, 1.0)
-    res = jnp.linalg.norm(b - A(x)) / bnorm_safe
+    res = jnp.sqrt(_tvdot(r, r)) / bnorm_safe
     return CGResult(x=x, iterations=total_it, residual_norm=res, converged=res <= tol)
