@@ -1,0 +1,39 @@
+"""Pallas fused structured kernel: equality with the XLA path (interpret
+mode on CPU; the compiled TPU path is exercised by bench tooling)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from femx.assembly_structured import StructuredSolidOperator
+from femx.elements.pallas_structured import apply_structured_pallas, pallas_applicable
+from femx.mesh import box_tet10
+
+
+@pytest.fixture(scope="module")
+def op_u():
+    mesh = box_tet10(1.6, 0.3, 0.4, 0.1)  # (16, 3, 4) cells
+    op = StructuredSolidOperator.from_mesh(mesh, 2e11, 0.3, dtype=np.float64)
+    u = jnp.asarray(np.random.default_rng(0).normal(size=op.ndof))
+    return op, u
+
+
+@pytest.mark.parametrize("cx", [4, 8, 16])
+def test_pallas_apply_matches_xla(op_u, cx):
+    op, u = op_u
+    want = np.asarray(op.apply(u))
+    got = np.asarray(apply_structured_pallas(op, u, cx=cx, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=np.abs(want).max() * 1e-14)
+
+
+def test_pallas_rejects_bad_chunk(op_u):
+    op, u = op_u
+    with pytest.raises(ValueError, match="divisible"):
+        apply_structured_pallas(op, u, cx=5, interpret=True)
+
+
+def test_applicability_check():
+    assert pallas_applicable((24, 24, 96), 4)
+    assert pallas_applicable((16, 3, 4), 16)        # single chunk covers all
+    assert not pallas_applicable((16, 3, 4), 5)     # 16 % 5 != 0
