@@ -118,21 +118,25 @@ def modal_lobpcg(
     d = jnp.asarray(m_diag)
     dm = jnp.where(s > 0, 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0)), 0.0)
 
-    def A(x):  # x: (ndof, k)
+    def A_free(x):  # masked, mass-scaled operator; x: (ndof, k)
         y = jax.vmap(lambda col: K_apply(col * dm) * dm, in_axes=1, out_axes=1)(x * s[:, None])
         return y * s[:, None]
 
     ndof = d.shape[0]
     key = jax.random.PRNGKey(0) if key is None else key
-    # Spectral upper bound via a few power iterations.
-    v = jax.random.normal(key, (ndof, 1), dtype=d.dtype)
+    # Spectral upper bound of the free-free block via power iteration.
+    v = jax.random.normal(key, (ndof, 1), dtype=d.dtype) * s[:, None]
     for _ in range(20):
-        v = A(v)
+        v = A_free(v)
         v = v / jnp.linalg.norm(v)
-    sigma = jnp.vdot(v, A(v)).real * 1.05 + 1.0
+    sigma = jnp.vdot(v, A_free(v)).real * 1.05 + 1.0
 
+    # Pin fixed DOFs at eigenvalue sigma so they sit at the BOTTOM of the
+    # inverted spectrum B = sigma*I - A (lobpcg_standard finds the largest
+    # eigenvalues of B, i.e. the smallest physical modes).
     def B(x):
-        return sigma * x - A(x) + (1.0 - s)[:, None] * x * sigma  # pin fixed DOFs high->low
+        Ax = A_free(x) + sigma * (1.0 - s)[:, None] * x
+        return sigma * x - Ax
 
     X0 = jax.random.normal(key, (ndof, n_modes), dtype=d.dtype) * s[:, None]
     theta, y, iters = lobpcg_standard(B, X0, m=maxiter)
