@@ -51,7 +51,8 @@ def test_prolong_exact_on_linear_fields():
 def test_mg_cg_converges_fast_and_matches_bj():
     dims = (0.4, 0.4, 2.0)
     mesh, mask, f = _cantilever(dims, 0.1)
-    mg = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask, dtype=np.float64)
+    mg = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask,
+                             dtype=np.float64, coarse_dof_limit=3000)
     assert len(mg.levels) >= 2
     op = mg.fine_op
     fj = jnp.asarray(op.to_internal(f * mask))
