@@ -1,0 +1,45 @@
+"""SoA (element-last) kernels vs the AoS einsum reference: bit-equality."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from femx.assembly import SolidOperator
+from femx.assembly_soa import SolidOperatorSoA
+from femx.elements.tet10 import material_matrix
+from femx.mesh import box_tet10
+
+
+@pytest.fixture(scope="module")
+def ops():
+    mesh = box_tet10(0.4, 0.2, 0.2, 0.1)
+    C = material_matrix(2e11, 0.3)
+    aos, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C)
+    soa, _ = SolidOperatorSoA.from_mesh(mesh.points, mesh.cells["tetra10"], 2e11, 0.3,
+                                        dtype=np.float64)
+    mask = np.ones(3 * mesh.num_nodes)
+    mask[:30] = 0.0
+    return aos.with_free_mask(jnp.asarray(mask)), soa.with_free_mask(jnp.asarray(mask))
+
+
+def test_apply_matches(ops):
+    aos, soa = ops
+    u = jnp.asarray(np.random.default_rng(0).normal(size=aos.ndof))
+    a = np.asarray(aos.apply(u))
+    b = np.asarray(soa.apply(u))
+    np.testing.assert_allclose(b, a, rtol=1e-13, atol=np.abs(a).max() * 1e-14)
+
+
+def test_diagonal_matches(ops):
+    aos, soa = ops
+    d = np.asarray(aos.diagonal())
+    np.testing.assert_allclose(np.asarray(soa.diagonal()), d, rtol=1e-12)
+
+
+def test_preconditioner_matches(ops):
+    aos, soa = ops
+    r = jnp.asarray(np.random.default_rng(1).normal(size=aos.ndof))
+    pa = np.asarray(aos.block_jacobi_preconditioner()(r))
+    pb = np.asarray(soa.block_jacobi_preconditioner()(r))
+    np.testing.assert_allclose(pb, pa, rtol=1e-11, atol=np.abs(pa).max() * 1e-12)
