@@ -91,3 +91,18 @@ def test_solid_report_file(tmp_path):
         assert heading in text
     assert "Total Reaction" in text
     assert (tmp_path / "FEM_Report_iso_view.png").exists()
+
+
+def test_pcg_refined_improves_residual():
+    from femx.solve.cg import pcg, pcg_refined
+
+    rng = np.random.default_rng(2)
+    n = 300
+    Q = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    A_mat = jnp.asarray(Q @ np.diag(np.linspace(1.0, 1e4, n)) @ Q.T)
+    b = jnp.asarray(rng.normal(size=n))
+    A = lambda v: A_mat @ v
+    loose = pcg(A, b, tol=1e-3, maxiter=5000)
+    refined = pcg_refined(A, b, tol=1e-3, maxiter=5000, refine_steps=2)
+    assert float(refined.residual_norm) < float(loose.residual_norm)
+    assert float(refined.residual_norm) < 1e-6
