@@ -165,7 +165,11 @@ class StructuredMultigrid:
         dtype=np.float32,
         n_smooth: int = 2,
         omega: float = 0.7,
-        coarse_dof_limit: int = 12000,
+        # Keep the coarsest dense factor small: it is closed over by the
+        # jitted V-cycle and embedded in the compiled program (an 8k-DOF
+        # factor is a 250 MB constant — measured to overflow the remote
+        # compiler's request limit). A deeper hierarchy costs ~1 iteration.
+        coarse_dof_limit: int = 4000,
         min_levels: int = 1,
     ):
         from femx.mesh.generators import box_tet10
