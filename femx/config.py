@@ -17,6 +17,17 @@ import jax.numpy as jnp
 # Must happen before any jnp array is created anywhere in femx.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: on this deployment a single solver program
+# costs minutes of (remote) compilation; caching makes repeat runs start in
+# seconds. Opt out with FEMX_COMPILE_CACHE=0 or point it elsewhere.
+_cache_dir = os.environ.get("FEMX_COMPILE_CACHE", os.path.expanduser("~/.cache/femx_jax"))
+if _cache_dir not in ("0", "off", ""):
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the knobs
+
 _DEFAULT_DTYPE = jnp.float64 if os.environ.get("FEMX_DTYPE", "float64") == "float64" else jnp.float32
 
 
