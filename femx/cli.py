@@ -102,7 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
     so.add_argument("--nu", type=float, required=True)
     so.add_argument("--force", action="append", default=[], required=False)
     so.add_argument("--fix", action="append", default=[], required=False)
-    so.add_argument("--solver", choices=["auto", "dense", "cg"], default="auto")
+    so.add_argument("--solver", choices=["auto", "dense", "cg", "mg"], default="auto")
     so.add_argument("--compat-quadrature-bug", action="store_true",
                     help="reproduce the reference's w=1/4 Tet10 weight")
     so.add_argument("--report", default=None)

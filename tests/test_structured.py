@@ -93,3 +93,30 @@ def test_pipeline_uses_structured_path():
     fa.run_simulation()
     assert fa.solve_info["method"] == "structured_block_jacobi_pcg"
     assert np.abs(fa.equilibrium_residual()).max() < 1e-7
+
+
+def test_pipeline_mg_solver():
+    """solver='mg' routes through the multigrid preconditioner and matches
+    the dense solution."""
+    from femx.analysis import SolidReactionAnalysis
+
+    mesh = box_tet10(0.4, 0.4, 0.8, 0.1,
+                     force_points=[(0.2, 0.4, 0.4)],
+                     fix_points=[(0, 0, 0), (0, 0, 0.8), (0.4, 0, 0), (0.4, 0, 0.8)])
+    args = (
+        [{"force_x": 0.0, "force_y": 3000.0, "force_z": 0.0,
+          "force_x_pstn": 0.2, "force_y_pstn": 0.4, "force_z_pstn": 0.4}],
+        [{"pos_x": x, "pos_y": 0.0, "pos_z": z, "fix_x": 0, "fix_y": 0, "fix_z": 0}
+         for x, z in [(0, 0), (0, 0.8), (0.4, 0), (0.4, 0.8)]],
+    )
+    fa_mg = SolidReactionAnalysis(mesh, *args, E=2e11, v=0.3, verbose=False,
+                                  solver="mg", cg_tol=1e-10)
+    fa_mg.run_simulation()
+    assert fa_mg.solve_info["method"] == "structured_multigrid_pcg"
+    assert fa_mg.solve_info["iterations"] < 40
+    assert np.abs(fa_mg.equilibrium_residual()).max() < 1e-7
+
+    fa_cg = SolidReactionAnalysis(mesh, *args, E=2e11, v=0.3, verbose=False,
+                                  solver="cg", cg_tol=1e-10)
+    fa_cg.run_simulation()
+    np.testing.assert_allclose(fa_mg.u, fa_cg.u, atol=np.abs(fa_cg.u).max() * 1e-6)
