@@ -222,6 +222,40 @@ class SolidReactionAnalysis:
         self.reaction_forces = np.asarray(op.apply(jnp.asarray(self.u)))
         self.stage_times["solve"] = time.perf_counter() - t0
 
+    def compute_stresses(self):
+        """Per-node averaged stress tensors + von Mises field (postprocess).
+
+        Beyond the reference (which reports only displacements/reactions for
+        the solid product): Voigt stresses at the 4 Gauss points of every
+        element, averaged to nodes with element-count weighting — the
+        standard nodal-smoothing recipe the reference uses for beams
+        (BeamSolver.py:420-438), applied to the solid field.
+
+        Returns (nodal_stress (N,6), nodal_von_mises (N,)).
+        """
+        if self.u is None:
+            raise RuntimeError("Run the analysis first.")
+        from femx.elements.tet10 import element_strain_stress, jacobians, von_mises
+
+        conn = jnp.asarray(self.tetra10_conn, dtype=jnp.int32)
+        pts = jnp.asarray(self.points)
+        dN, wdet, _ = jacobians(pts[conn])
+        ue = jnp.asarray(self.u).reshape(-1, 3)[conn]  # (E, 10, 3)
+        _, stress = element_strain_stress(dN, jnp.asarray(self.C, dtype=ue.dtype), ue)
+        elem_stress = jnp.mean(stress, axis=1)  # (E, 6) element-average
+        nodal = np.zeros((self.num_nodes, 6))
+        counts = np.zeros(self.num_nodes)
+        conn_np = np.asarray(self.tetra10_conn)
+        es = np.asarray(elem_stress)
+        for k in range(10):
+            np.add.at(nodal, conn_np[:, k], es)
+            np.add.at(counts, conn_np[:, k], 1.0)
+        nodal /= np.maximum(counts, 1.0)[:, None]
+        vm = np.asarray(von_mises(jnp.asarray(nodal)))
+        self.nodal_stress = nodal
+        self.nodal_von_mises = vm
+        return nodal, vm
+
     def print_reactions(self) -> None:
         """Console reaction table + equilibrium check
         (reference: ReactionSolver.py:207-224)."""

@@ -183,3 +183,27 @@ def test_missing_tetra10_raises():
 
     with pytest.raises(ValueError, match="tetra10"):
         SolidReactionAnalysis(cantilever_line_mesh(), [], [], E=2e11, v=0.3, verbose=False)
+
+
+def test_stress_recovery_uniaxial_patch(small_box):
+    """Impose a uniform uniaxial strain field; recovered nodal stresses must
+    equal C @ eps everywhere and von Mises must be constant."""
+    mesh = small_box
+    fa = _run_case(mesh, "dense")
+    eps = 1e-4
+    u = np.zeros((mesh.num_nodes, 3))
+    u[:, 0] = eps * mesh.points[:, 0]
+    fa.u = u.reshape(-1)
+    nodal, vm = fa.compute_stresses()
+    C = np.asarray(tet10_el.material_matrix(2e11, 0.3))
+    expect = C @ np.array([eps, 0, 0, 0, 0, 0])
+    np.testing.assert_allclose(nodal, np.broadcast_to(expect, nodal.shape),
+                               rtol=1e-9, atol=np.abs(expect).max() * 1e-10)
+    assert np.allclose(vm, vm[0], rtol=1e-9)
+
+
+def test_stress_recovery_real_solution(small_box):
+    fa = _run_case(small_box, "dense")
+    nodal, vm = fa.compute_stresses()
+    assert nodal.shape == (small_box.num_nodes, 6)
+    assert np.isfinite(vm).all() and vm.max() > 0
