@@ -40,9 +40,10 @@ def test_triangulation_with_hole():
 def test_rectangle_J_and_kappa():
     g = rectangular(0.1, 0.05)
     J, kx, ky = warping_constants(g, nu=0.0, mesh_size=0.0035)
-    assert J == pytest.approx(torsion_rectangle(0.05, 0.1), rel=0.01)
-    assert kx == pytest.approx(5.0 / 6.0, rel=0.01)
-    assert ky == pytest.approx(5.0 / 6.0, rel=0.01)
+    # Richardson-extrapolated Tri3: ~1e-4 relative on exact closed forms
+    assert J == pytest.approx(torsion_rectangle(0.05, 0.1), rel=1e-3)
+    assert kx == pytest.approx(5.0 / 6.0, rel=1e-3)
+    assert ky == pytest.approx(5.0 / 6.0, rel=1e-3)
 
 
 def test_circle_J_and_kappa():
