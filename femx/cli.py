@@ -147,7 +147,7 @@ def main(argv=None) -> int:
 
         mesh = box_tet10(
             *args.dims, mesh_size=args.mesh_size,
-            force_points=[_parse_force_at(f) and _parse_vec3(f.split("@")[1]) for f in args.force],
+            force_points=[_parse_vec3(f.split("@")[1]) for f in args.force],
             fix_points=[_parse_vec3(f.split(":")[0]) for f in args.fix],
         )
         write_msh(args.output, mesh)
