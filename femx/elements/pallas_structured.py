@@ -102,7 +102,8 @@ def structured_cell_matmul(
         b1 = refs[8:12]
         kc_ref = refs[12]
         out = refs[13]
-        ue_scratch = refs[14]  # (81, nz) VMEM
+        out_scratch = refs[14]  # (81, cx, ny, nz) VMEM chunk accumulator
+        ue_scratch = refs[15]  # (81, nz) VMEM
 
         # Mosaic cannot shape-cast (...,ny,nz) lane merges, so the MXU sees
         # one (81, nz) strip per local (x, y) cell column: 81 row reads
@@ -133,10 +134,11 @@ def structured_cell_matmul(
                     row += 1
             fe = jax.lax.dot(kc_ref[...], ue_scratch[...],
                              precision=jax.lax.Precision.HIGHEST)  # (81, nz)
-            out[0, :, x, y, :] = fe
+            out_scratch[:, x, y, :] = fe
             return carry
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(cx * ny), strip, jnp.int32(0))
+        out[0] = out_scratch[...]
 
     return pl.pallas_call(
         kernel,
@@ -144,7 +146,10 @@ def structured_cell_matmul(
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_chunks, 81, cx, ny, nz), kcell.dtype),
-        scratch_shapes=[pltpu.VMEM((81, nz), kcell.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((81, cx, ny, nz), kcell.dtype),
+            pltpu.VMEM((81, nz), kcell.dtype),
+        ],
         interpret=interpret,
     )(*body0, *body0, *body1, kcell)
 
