@@ -29,7 +29,7 @@ from femx import bc as bc_mod
 from femx.assembly import assemble_dense, dof_map
 from femx.elements import beam as beam_el
 from femx.mesh.core import Mesh
-from femx.modal import ModalResult, modal_dense
+from femx.modal import modal_dense
 from femx.sections.properties import SectionProperties, compute_properties
 from femx.solve.dense import partitioned_solve
 

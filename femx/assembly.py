@@ -17,11 +17,9 @@ All functions are jit-compatible; element counts are static per mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from femx.elements import tet10 as tet10_el
 

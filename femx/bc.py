@@ -16,7 +16,7 @@ partitioned index sets are also provided for the exact-parity dense paths.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ stiffening K exactly 6x (documented quirk — see femx.config.ReferenceCompat).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 # 4-point Gauss rule on the reference tetrahedron (same points as

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from femx.elements.tet10 import DN_NATURAL, GAUSS_WEIGHT_CORRECT

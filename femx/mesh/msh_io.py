@@ -18,7 +18,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from femx.mesh.core import GMSH_TYPE_TO_NAME, NAME_TO_GMSH_TYPE, NODES_PER_CELL, Mesh
+from femx.mesh.core import GMSH_TYPE_TO_NAME, NAME_TO_GMSH_TYPE, Mesh
 
 
 class _Tokens:

@@ -17,7 +17,7 @@ omega = sqrt(lambda) rad/s, mode shapes scattered to full DOF vectors
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 import jax

@@ -23,7 +23,7 @@ NCCL/MPI-style transport exists or is needed (SURVEY.md §5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

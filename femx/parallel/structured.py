@@ -18,9 +18,8 @@ exchange) is the documented next step for >8-chip scaling.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

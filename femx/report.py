@@ -14,7 +14,6 @@ format and .docx is produced when the library is importable.
 
 from __future__ import annotations
 
-import io
 import os
 from datetime import datetime
 from typing import List, Optional

@@ -21,7 +21,7 @@ machine precision (straight-sided meshes integrate polygon moments exactly).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -10,7 +10,6 @@ round-trips per iteration.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

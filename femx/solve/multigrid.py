@@ -19,7 +19,7 @@ axis neighbors — composed per axis, restriction is exactly the transpose
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List
 
 import numpy as np
 import jax

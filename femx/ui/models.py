@@ -12,10 +12,7 @@ list strings FEM_main.py:152-179 / BeamSolver.py:283-298).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import List, Optional
 
 from femx.config import DEFAULT_COMPAT, ReferenceCompat
 from femx.mesh import Mesh, box_tet10, read_msh, write_msh

@@ -18,8 +18,6 @@ ReactionSolver.py:332-342).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 import matplotlib
