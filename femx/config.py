@@ -38,7 +38,6 @@ def default_dtype():
 
 def set_default_dtype(dtype) -> None:
     global _DEFAULT_DTYPE
-    _DEFAULT_DTYPE = jnp.dtype(dtype).type if not hasattr(dtype, "dtype") else dtype
     _DEFAULT_DTYPE = jnp.dtype(dtype)
 
 
