@@ -86,20 +86,73 @@ def solid_point_loads(
 _BEAM_FIX_KEYS = ("fix_x", "fix_y", "fix_z", "fix_rx", "fix_ry", "fix_rz")
 
 
+def _distributed_member_loads(mesh: Mesh, group: str, w_global) -> np.ndarray:
+    """Consistent nodal loads for a uniform line load w (N/m, global) applied
+    to every 'line' element of a physical group.
+
+    Per element the global load is rotated to member axes, the classical
+    fixed-end load vector is built (wL/2 shears with +-wL^2/12 end moments in
+    each bending plane, wL/2 axial), and rotated back. This capability is
+    beyond the reference (which supports nodal forces only,
+    BeamSolver.py:406-407) and covers BASELINE.json's "point + distributed
+    loads" configuration.
+    """
+    conn = mesh.cells.get("line")
+    tags = mesh.cell_physical.get("line")
+    if conn is None or tags is None or group not in mesh.field_data:
+        return np.zeros(6 * mesh.num_nodes)
+    gid = mesh.field_data[group][0]
+    w = np.asarray(w_global, dtype=np.float64)
+    f = np.zeros(6 * mesh.num_nodes)
+
+    import jax.numpy as jnp
+
+    from femx.elements.beam import direction_cosine_matrix
+
+    for e in np.where(tags == gid)[0]:
+        n1, n2 = conn[e]
+        p1, p2 = mesh.points[n1], mesh.points[n2]
+        L = float(np.linalg.norm(p2 - p1))
+        if L == 0:
+            continue
+        lam = np.asarray(direction_cosine_matrix(jnp.asarray(p1), jnp.asarray(p2)))
+        wl = lam @ w  # local (axial, y, z) load intensities
+        fe = np.zeros(12)
+        fe[0] = fe[6] = wl[0] * L / 2.0  # axial
+        fe[1] = fe[7] = wl[1] * L / 2.0  # local-y shear
+        fe[5], fe[11] = wl[1] * L**2 / 12.0, -wl[1] * L**2 / 12.0  # theta-z moments
+        fe[2] = fe[8] = wl[2] * L / 2.0  # local-z shear
+        fe[4], fe[10] = -wl[2] * L**2 / 12.0, wl[2] * L**2 / 12.0  # theta-y (xz sign conv.)
+        R = np.kron(np.eye(4), lam)
+        fg = R.T @ fe
+        f[6 * n1 : 6 * n1 + 6] += fg[:6]
+        f[6 * n2 : 6 * n2 + 6] += fg[6:]
+    return f
+
+
 def beam_group_constraints_and_loads(
     mesh: Mesh, bc_data: Sequence[dict]
 ) -> Tuple[ConstraintSet, np.ndarray]:
-    """Beam BCs by vertex physical group (6 DOF/node).
+    """Beam BCs by physical group (6 DOF/node).
 
-    bc dicts: {'group', 'type': 'Fix'|'Force', 'fix_x'..'fix_rz' bools} or
-    {'group', 'type': 'Force', 'force_x','force_y','force_z'} — forces are
-    translational only, matching the reference (BeamSolver.py:395-407).
+    bc dicts:
+      {'group', 'type': 'Fix', 'fix_x'..'fix_rz': bool}           (vertex group)
+      {'group', 'type': 'Force', 'force_x','force_y','force_z'}   (vertex group;
+        translational only, matching the reference BeamSolver.py:395-407)
+      {'group', 'type': 'DistributedForce', 'wx','wy','wz'}       (line group,
+        N/m in global axes; consistent fixed-end load vectors — femx extension)
     """
     ndof = 6 * mesh.num_nodes
     f = np.zeros(ndof)
     fixed: List[int] = []
     info: List[dict] = []
     for bc in bc_data:
+        if bc["type"] == "DistributedForce":
+            f += _distributed_member_loads(
+                mesh, bc["group"],
+                (bc.get("wx", 0.0), bc.get("wy", 0.0), bc.get("wz", 0.0)),
+            )
+            continue
         nodes = nodes_in_physical_group(mesh, bc["group"], "vertex")
         for n in nodes:
             if bc["type"] == "Fix":

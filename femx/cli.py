@@ -118,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="group=TYPE:k=v,... (e.g. beam=I section:d=0.05,b=0.025,t_w=0.005,t_f=0.005)")
     be.add_argument("--fix-group", action="append", default=[], help="group:xyzXYZ")
     be.add_argument("--force-group", action="append", default=[], help="group=fx,fy,fz")
+    be.add_argument("--distributed-group", action="append", default=[],
+                    help="line-group=wx,wy,wz (N/m, global axes)")
     be.add_argument("--section-method", choices=["auto", "fem", "closed_form"], default="auto")
     be.add_argument("--report", default=None)
     be.add_argument("--json", action="store_true", help="print results as JSON")
@@ -192,6 +194,11 @@ def main(argv=None) -> int:
         bc_data = [_parse_fix_group(s) for s in args.fix_group] + [
             _parse_force_group(s) for s in args.force_group
         ]
+        for s in args.distributed_group:
+            group, vec = s.split("=")
+            wx, wy, wz = _parse_vec3(vec)
+            bc_data.append({"group": group, "type": "DistributedForce",
+                            "wx": wx, "wy": wy, "wz": wz})
         ba = BeamAnalysis(mesh, section_data, bc_data, E=args.E, nu=args.nu,
                           rho=args.rho, mass=args.mass, section_method=args.section_method)
         res = ba.run()

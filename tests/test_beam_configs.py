@@ -114,3 +114,44 @@ def test_rotated_section_swaps_bending_axis():
     assert u1 == pytest.approx(analytic(p), rel=1e-9)
     assert u2 == pytest.approx(analytic(pr), rel=1e-9)
     assert abs(u2) < abs(u1)  # rotation put the strong axis in bending
+
+
+def test_simply_supported_distributed_load():
+    """UDL on a simply-supported Timoshenko beam: midspan deflection
+    5wL^4/384EI + wL^2/8kAG and end reactions wL/2 (femx extension over the
+    reference's nodal-only loads; BASELINE.json config 'point + distributed
+    loads')."""
+    L = 4.0
+    w = -5000.0  # N/m in global y
+    fb = FrameBuilder()
+    a = fb.add_node((0, 0, 0))
+    b = fb.add_node((L, 0, 0))
+    chain = fb.add_member(a, b, "beam", n_elems=32)
+    mid = chain[len(chain) // 2]
+    fb.add_vertex_group("pin", [a])
+    fb.add_vertex_group("roller", [b])
+    mesh = fb.build()
+    bc = [
+        {"group": "pin", "type": "Fix", "fix_x": True, "fix_y": True, "fix_z": True,
+         "fix_rx": True},
+        {"group": "roller", "type": "Fix", "fix_y": True, "fix_z": True},
+        {"group": "beam", "type": "DistributedForce", "wy": w},
+    ]
+    params = {"d": 0.1, "b": 0.05}
+    ba = BeamAnalysis(mesh, [{"group": "beam", "type": "rectangular section",
+                              "params": params}], bc,
+                      E=E, nu=NU, rho=7850.0, section_method="closed_form")
+    res = ba.run()
+    p = compute_properties("rectangular section", params, method="closed_form")
+    analytic = (5 * w * L**4 / (384 * E * p.I_y)
+                + w * L**2 / (8 * p.kappa_y * p.A * G))
+    assert res.u[6 * mid + 1] == pytest.approx(analytic, rel=1e-4)
+    r = res.reactions()
+    # r = K u contains the support reactions at fixed DOFs and the applied
+    # nodal equivalents at free DOFs; the global sum vanishes, the two
+    # supports split the load symmetrically, and each support's K u value is
+    # the true reaction -wL/2 offset by its own tributary equivalent w*h/2.
+    h = L / 32
+    assert r[1::6].sum() == pytest.approx(0.0, abs=1e-6)
+    assert r[6 * a + 1] == pytest.approx(r[6 * b + 1], rel=1e-9)
+    assert r[6 * a + 1] == pytest.approx(-w * (L - h) / 2, rel=1e-9)
