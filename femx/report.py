@@ -146,6 +146,9 @@ def beam_report(
         if item["type"] == "Fix":
             fixes = [f for f in ["X", "Y", "Z", "RX", "RY", "RZ"] if item.get(f"fix_{f.lower()}")]
             det = f"Fixed DOFs: {', '.join(fixes) or 'None'}"
+        elif item["type"] == "DistributedForce":
+            det = (f"w=({item.get('wx', 0)}, {item.get('wy', 0)}, "
+                   f"{item.get('wz', 0)}) N/m")
         else:
             det = f"Fx={item.get('force_x', 0)}, Fy={item.get('force_y', 0)}, Fz={item.get('force_z', 0)}"
         lines.append(f"| {item['group']} | {item['type']} | {det} |")

@@ -226,6 +226,9 @@ class BeamAnalysisModel:
                 fixes = [f for f in ["X", "Y", "Z", "RX", "RY", "RZ"]
                          if item.get(f"fix_{f.lower()}")]
                 det = f"Fix ({', '.join(fixes) or 'None'})"
+            elif item["type"] == "DistributedForce":
+                det = (f"Distributed w=({item.get('wx', 0)}, "
+                       f"{item.get('wy', 0)}, {item.get('wz', 0)}) N/m")
             else:
                 det = (f"Force F=({item.get('force_x', 0)}, "
                        f"{item.get('force_y', 0)}, {item.get('force_z', 0)})")
