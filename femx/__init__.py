@@ -19,6 +19,7 @@ from femx.mesh import (
     FrameBuilder,
     Mesh,
     box_tet10,
+    box_tet10_from_cells,
     cantilever_line_mesh,
     nodes_in_physical_group,
     read_msh,
@@ -38,6 +39,7 @@ __all__ = [
     "read_msh",
     "write_msh",
     "box_tet10",
+    "box_tet10_from_cells",
     "cantilever_line_mesh",
     "nodes_in_physical_group",
     "calculate_section_properties",

@@ -167,17 +167,24 @@ class SolidReactionAnalysis:
             use_mg = self.solver == "mg" or (
                 self.solver == "auto" and ndof > self.MG_DOF_THRESHOLD
             )
+            minv = None
             if use_mg:
                 from femx.solve.multigrid import StructuredMultigrid
 
                 info = self.mesh.structured
-                minv = StructuredMultigrid(
-                    tuple(n * s for n, s in zip(info.n_cells, info.spacing)),
-                    info.n_cells, self.E, self.v, mask_g,
-                    weight=self.weight, dtype=np.dtype(dtype).type,
-                )
-                method = "structured_multigrid_pcg"
-            else:
+                try:
+                    minv = StructuredMultigrid(
+                        None, info.n_cells, self.E, self.v, mask_g,
+                        weight=self.weight, dtype=np.dtype(dtype).type,
+                        fine_op=op, spacing=info.spacing,
+                    )
+                    method = "structured_multigrid_pcg"
+                except ValueError as e:
+                    # e.g. hierarchy bottoms out too large (odd anisotropic
+                    # cell counts) — block-Jacobi PCG still solves correctly.
+                    self._log(f"   - Multigrid unavailable ({e}); "
+                              "falling back to block-Jacobi PCG.")
+            if minv is None:
                 minv = op.block_jacobi_preconditioner()
                 method = "structured_block_jacobi_pcg"
             res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)

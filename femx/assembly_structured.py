@@ -30,7 +30,7 @@ enforced by tests/test_structured.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -91,6 +91,48 @@ class StructuredSolidOperator:
             n_cells=info.n_cells,
             grid_shape=info.grid_shape,
             weight=float(weight),
+        )
+
+    @classmethod
+    def from_lattice(cls, n_cells, spacing, E_mod, nu, weight=None, dtype=np.float32):
+        """Build directly from (n_cells, spacing) — no Mesh object needed.
+
+        The operator is fully determined by the cell stiffness (a function of
+        spacing/material only) and the lattice extents, so hierarchy levels
+        (multigrid) can be constructed without re-meshing.
+        """
+        from femx.elements.tet10 import GAUSS_WEIGHT_CORRECT
+
+        if weight is None:
+            weight = GAUSS_WEIGHT_CORRECT
+        n = tuple(int(v) for v in n_cells)
+        Kc = _cell_stiffness(tuple(float(s) for s in spacing), E_mod, nu, weight, dtype)
+        return cls(
+            Kcell=jnp.asarray(Kc),
+            n_cells=n,
+            grid_shape=tuple(2 * c + 1 for c in n),
+            weight=float(weight),
+        )
+
+    def coarsened(self, factor: Sequence[int] = (2, 2, 2)) -> "StructuredSolidOperator":
+        """The operator on a lattice coarsened by `factor` per axis.
+
+        For uniform factor (2,2,2) the cell stiffness rescales EXACTLY:
+        under x -> a x, B -> B/a and dV -> a^3 dV, so K -> a K. Anisotropic
+        (semi-)coarsening changes the spacing ratio, so the cell matrix
+        cannot be rescaled; callers must rebuild via from_lattice then
+        (only the uniform case is used by StructuredMultigrid's fast path).
+        """
+        if tuple(factor) != (2, 2, 2):
+            raise ValueError("exact rescaling only valid for uniform 2x coarsening")
+        n = tuple(c // f for c, f in zip(self.n_cells, factor))
+        if any(c * f != cf for c, f, cf in zip(n, factor, self.n_cells)):
+            raise ValueError(f"cell counts {self.n_cells} not divisible by {factor}")
+        return StructuredSolidOperator(
+            Kcell=2.0 * self.Kcell,
+            n_cells=n,
+            grid_shape=tuple(2 * c + 1 for c in n),
+            weight=self.weight,
         )
 
     # -- layout bookkeeping --------------------------------------------------

@@ -11,6 +11,7 @@ from femx.mesh.msh_io import read_msh, write_msh
 from femx.mesh.generators import (
     FrameBuilder,
     box_tet10,
+    box_tet10_from_cells,
     cantilever_line_mesh,
     tet4_to_tet10,
     TET10_EDGES,
@@ -26,6 +27,7 @@ __all__ = [
     "write_msh",
     "FrameBuilder",
     "box_tet10",
+    "box_tet10_from_cells",
     "cantilever_line_mesh",
     "tet4_to_tet10",
     "TET10_EDGES",

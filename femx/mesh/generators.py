@@ -113,8 +113,29 @@ def box_tet10(
     """
     dims = np.array([x, y, z], dtype=np.float64)
     n = np.maximum(1, np.round(dims / mesh_size).astype(int))
-    nx, ny, nz = int(n[0]), int(n[1]), int(n[2])
     h = dims / n
+    return box_tet10_from_cells(
+        (int(n[0]), int(n[1]), int(n[2])), h,
+        force_points=force_points, fix_points=fix_points, origin=origin,
+    )
+
+
+def box_tet10_from_cells(
+    n_cells: Sequence[int],
+    spacing: Sequence[float],
+    force_points: Optional[Sequence[Sequence[float]]] = None,
+    fix_points: Optional[Sequence[Sequence[float]]] = None,
+    origin: Sequence[float] = (0.0, 0.0, 0.0),
+) -> Mesh:
+    """box_tet10 with exact per-axis cell counts and spacings.
+
+    The lattice-exact constructor: no mesh_size rounding is involved, so
+    callers that already know (n_cells, spacing) — e.g. the multigrid
+    hierarchy coarsening an existing StructuredBoxInfo — can realize any
+    anisotropic grid directly.
+    """
+    nx, ny, nz = (int(v) for v in n_cells)
+    h = np.asarray(spacing, dtype=np.float64)
     info = StructuredBoxInfo((nx, ny, nz), h, origin)
 
     Px, Py, Pz = info.grid_shape

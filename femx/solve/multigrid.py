@@ -8,12 +8,16 @@ preconditioner of CG. Iteration counts drop from O(thousands) with
 block-Jacobi alone to O(tens), independent of mesh size — which is what
 makes the <2 s / 1M-DOF north star reachable in float32 on one chip.
 
-Grid hierarchy: cell counts halve per level while all axes are even
-(choose benchmark grids with power-of-two-friendly cell counts for the
-deepest hierarchy). Transfers: fine lattice positions at even doubled
-coordinates coincide with coarse nodes; odd positions interpolate the two
-axis neighbors — composed per axis, restriction is exactly the transpose
-(keeps the V-cycle SPD so standard CG applies).
+Grid hierarchy: per level, every axis whose cell count is even and > 2
+halves (semi-coarsening), so anisotropic/odd cell counts still get a deep
+hierarchy; power-of-two-friendly counts coarsen fastest. Uniform 2x steps
+reuse the cell stiffness by exact rescaling (K(2h) = 2 K(h)); only
+semi-coarsened steps re-assemble the (81,81) cell matrix (single cell,
+cheap) — no level ever re-meshes the box. Transfers: fine lattice positions
+at even doubled coordinates coincide with coarse nodes; odd positions
+interpolate the two axis neighbors — composed per coarsened axis,
+restriction is exactly the transpose (keeps the V-cycle SPD so standard CG
+applies).
 """
 
 from __future__ import annotations
@@ -120,14 +124,14 @@ def _restrict_axis(G: jnp.ndarray, axis: int) -> jnp.ndarray:
     return out.reshape(even.shape)
 
 
-def prolong(G_coarse: jnp.ndarray) -> jnp.ndarray:
-    for ax in (1, 2, 3):
+def prolong(G_coarse: jnp.ndarray, axes=(1, 2, 3)) -> jnp.ndarray:
+    for ax in axes:
         G_coarse = _interp_axis(G_coarse, ax)
     return G_coarse
 
 
-def restrict(G_fine: jnp.ndarray) -> jnp.ndarray:
-    for ax in (1, 2, 3):
+def restrict(G_fine: jnp.ndarray, axes=(1, 2, 3)) -> jnp.ndarray:
+    for ax in axes:
         G_fine = _restrict_axis(G_fine, ax)
     return G_fine
 
@@ -171,37 +175,98 @@ class StructuredMultigrid:
         # compiler's request limit). A deeper hierarchy costs ~1 iteration.
         coarse_dof_limit: int = 4000,
         min_levels: int = 1,
+        fine_op: "StructuredSolidOperator | None" = None,
+        spacing=None,
+        # Hard cap on the coarsest dense factor: beyond this the Cholesky
+        # (O(n^3) host work + a >100 MB jit-closure constant, which the
+        # remote TPU compiler rejects) is worse than falling back to
+        # block-Jacobi CG — raise so callers can fall back.
+        coarse_dense_limit: int = 15000,
     ):
-        from femx.mesh.generators import box_tet10
-
         self.n_smooth = n_smooth
         self.omega = omega
         self.levels: List[_Level] = []
-        self._masks_grid: List[np.ndarray] = []
+        self._coarsen_axes: List[tuple] = []  # grid axes (1..3) per level gap
 
         n = tuple(int(v) for v in n_cells)
+        if spacing is None:
+            spacing = tuple(float(d) / c for d, c in zip(dims, n))
+        sp = tuple(float(s) for s in spacing)
         mask_grid = np.asarray(free_mask_global, dtype=np.float64).reshape(
             2 * n[0] + 1, 2 * n[1] + 1, 2 * n[2] + 1, 3
         )
-        meshes = []
-        while True:
-            mesh = _box_with_cells(dims, n)
-            meshes.append((mesh, mask_grid))
-            ndof = 3 * mesh.num_nodes
-            if ndof <= coarse_dof_limit or any(c % 2 for c in n) or min(n) <= 2:
-                break
-            n = tuple(c // 2 for c in n)
-            mask_grid = mask_grid[::2, ::2, ::2]
 
-        for mesh, mgrid in meshes:
-            op = StructuredSolidOperator.from_mesh(mesh, E, nu, weight=weight, dtype=dtype)
+        # ---- level specs: semi-coarsening (halve every axis that is even
+        # and > 2; odd/small axes stay fine) so anisotropic boxes get a
+        # hierarchy instead of bottoming out at the finest level.
+        specs = []  # (n, sp, mask_grid)
+        while True:
+            specs.append((n, sp, mask_grid))
+            ndof = 3 * (2 * n[0] + 1) * (2 * n[1] + 1) * (2 * n[2] + 1)
+            axes = tuple(i for i in range(3) if n[i] % 2 == 0 and n[i] > 2)
+            if ndof <= coarse_dof_limit or not axes:
+                break
+            self._coarsen_axes.append(tuple(1 + i for i in axes))
+            n = tuple(c // 2 if i in axes else c for i, c in enumerate(n))
+            sp = tuple(s * 2.0 if i in axes else s for i, s in enumerate(sp))
+            sub = tuple(slice(None, None, 2) if i in axes else slice(None) for i in range(3))
+            mask_grid = mask_grid[sub]
+
+        coarse_ndof = 3 * np.prod([2 * c + 1 for c in specs[-1][0]])
+        if coarse_ndof > coarse_dense_limit:
+            raise ValueError(
+                f"multigrid hierarchy bottoms out at {coarse_ndof} DOFs "
+                f"(> coarse_dense_limit={coarse_dense_limit}); cell counts "
+                f"{tuple(n_cells)} do not coarsen far enough"
+            )
+
+        # ---- per-level operators: reuse the caller's fine operator, derive
+        # uniformly-coarsened cell matrices by exact 2x rescaling, rebuild
+        # from_lattice (single-cell assembly, cheap) only on semi-coarsened
+        # steps where the spacing ratio changes.
+        prev_op = None
+        for i, (ni, spi, mgrid) in enumerate(specs):
+            if i == 0 and fine_op is not None:
+                if tuple(fine_op.n_cells) != ni:
+                    raise ValueError(
+                        f"fine_op has n_cells {fine_op.n_cells}, expected {ni}"
+                    )
+                op = fine_op
+            elif (
+                prev_op is not None
+                and self._coarsen_axes[i - 1] == (1, 2, 3)
+            ):
+                op = prev_op.coarsened()
+            else:
+                op = StructuredSolidOperator.from_lattice(
+                    ni, spi, E, nu, weight=weight, dtype=dtype
+                )
+            prev_op = op
             m_int = op.to_internal(mgrid.reshape(-1))
             op = op.with_free_mask(jnp.asarray(m_int, dtype=op.Kcell.dtype))
             self.levels.append(_Level(op=op, minv=op.block_jacobi_preconditioner()))
 
+        # Smoother damping. omega=0.7 is stable and tuned for the uniform
+        # isotropic hierarchy, but damped block-Jacobi DIVERGES on the
+        # anisotropic coarse operators a semi-coarsened hierarchy produces
+        # (measured: the V-cycle turns indefinite and CG's rz>0 guard trips).
+        # In that case estimate lambda_max(M^-1 K) per level by power
+        # iteration and use the Chebyshev-style safe choice 4/(3 lambda_max).
+        semi = any(g != (1, 2, 3) for g in self._coarsen_axes)
+        if semi:
+            self.omegas = [
+                min(omega, 4.0 / (3.0 * _power_lambda_max(l.op, l.minv)))
+                for l in self.levels
+            ]
+        else:
+            self.omegas = [omega] * len(self.levels)
+
         # Coarsest: dense masked Cholesky in the coarse op's internal order.
-        cmesh, cmask = meshes[-1]
+        from femx.mesh.generators import box_tet10_from_cells
+
+        cn, csp, _ = specs[-1]
         cop = self.levels[-1].op
+        cmesh = box_tet10_from_cells(cn, csp)
         K = _dense_structured_K(cmesh, E, nu, cop.weight)
         perm = cop._permutation()
         Kp = K[np.ix_(perm, perm)]
@@ -214,22 +279,25 @@ class StructuredMultigrid:
         y = jax.scipy.linalg.solve_triangular(self._chol, b, lower=True)
         return jax.scipy.linalg.solve_triangular(self._chol.T, y, lower=False)
 
-    def _smooth(self, lvl: _Level, x, b, sweeps: int):
+    def _smooth(self, k: int, x, b, sweeps: int):
+        lvl = self.levels[k]
+        om = self.omegas[k]
         for _ in range(sweeps):
-            x = x + self.omega * lvl.minv(b - lvl.op.apply_constrained(x))
+            x = x + om * lvl.minv(b - lvl.op.apply_constrained(x))
         return x
 
     def _vcycle(self, k: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl = self.levels[k]
         if k == len(self.levels) - 1:
             return self._coarse_solve(b)
-        x = self._smooth(lvl, jnp.zeros_like(b), b, self.n_smooth)
+        x = self._smooth(k, jnp.zeros_like(b), b, self.n_smooth)
         r = b - lvl.op.apply_constrained(x)
         nxt = self.levels[k + 1]
-        r_coarse = _split_full(nxt.op, restrict(_join_full(lvl.op, r))) * nxt.op.free_mask
+        axes = self._coarsen_axes[k]
+        r_coarse = _split_full(nxt.op, restrict(_join_full(lvl.op, r), axes)) * nxt.op.free_mask
         e_coarse = self._vcycle(k + 1, r_coarse)
-        x = x + _split_full(lvl.op, prolong(_join_full(nxt.op, e_coarse))) * lvl.op.free_mask
-        return self._smooth(lvl, x, b, self.n_smooth)
+        x = x + _split_full(lvl.op, prolong(_join_full(nxt.op, e_coarse), axes)) * lvl.op.free_mask
+        return self._smooth(k, x, b, self.n_smooth)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         """Preconditioner application M^-1 r (internal layout of the finest
@@ -241,19 +309,21 @@ class StructuredMultigrid:
         return self.levels[0].op
 
 
-def _box_with_cells(dims, n_cells):
-    """box_tet10 with exact cell counts (bypasses mesh_size rounding)."""
-    from femx.mesh.generators import box_tet10
+def _power_lambda_max(op: StructuredSolidOperator, minv, iters: int = 15) -> float:
+    """Power-iteration estimate of lambda_max(M^-1 K) for smoother damping.
 
-    # pick a mesh_size that rounds to the requested counts on every axis
-    ms = min(d / c for d, c in zip(dims, n_cells))
-    mesh = box_tet10(*dims, mesh_size=ms)
-    if mesh.structured.n_cells != tuple(n_cells):
-        raise ValueError(
-            f"cannot realize cell counts {n_cells} for dims {dims} "
-            f"(got {mesh.structured.n_cells})"
-        )
-    return mesh
+    M^-1 K is similar to the symmetric M^-1/2 K M^-1/2 (both SPD), so power
+    iteration converges to the top eigenvalue; a 5% pad covers the truncated
+    iteration. Runs at setup (a handful of operator applies)."""
+    rng = np.random.default_rng(7)
+    dt = np.asarray(op.Kcell).dtype
+    v = jnp.asarray(rng.standard_normal(op.ndof).astype(dt))
+    lam = 1.0
+    for _ in range(iters):
+        w = minv(op.apply_constrained(v))
+        lam = float(jnp.sqrt(jnp.vdot(w, w).real / jnp.vdot(v, v).real))
+        v = w / lam
+    return 1.05 * lam
 
 
 def _dense_structured_K(mesh, E, nu, weight) -> np.ndarray:

@@ -77,3 +77,76 @@ def test_mg_f32_converges():
     res = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=1e-5, maxiter=100)
     assert bool(res.converged)
     assert int(res.iterations) < 40
+
+def test_box_tet10_from_cells_exact_counts():
+    """Anisotropic cell counts realize exactly (no mesh_size rounding)."""
+    from femx.mesh import box_tet10_from_cells
+
+    mesh = box_tet10_from_cells((11, 3, 3), (1.0 / 11, 0.09, 0.09))
+    assert mesh.structured.n_cells == (11, 3, 3)
+    np.testing.assert_allclose(mesh.points[:, 0].max(), 1.0, rtol=1e-12)
+
+
+def test_coarsened_kcell_exact_rescale():
+    """K(2h) == 2 K(h) for uniform coarsening (affine-element scaling law)."""
+    from femx.assembly_structured import StructuredSolidOperator
+
+    fine = StructuredSolidOperator.from_lattice((4, 4, 4), (0.05, 0.07, 0.06),
+                                                2e11, 0.3, dtype=np.float64)
+    coarse = fine.coarsened()
+    rebuilt = StructuredSolidOperator.from_lattice((2, 2, 2), (0.1, 0.14, 0.12),
+                                                   2e11, 0.3, dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(coarse.Kcell), np.asarray(rebuilt.Kcell),
+                               rtol=1e-12, atol=np.abs(rebuilt.Kcell).max() * 1e-12)
+    assert coarse.n_cells == (2, 2, 2)
+
+
+def test_mg_anisotropic_semicoarsening_converges():
+    """Anisotropic/odd cell counts (ADVICE round-1 crash repro) now build a
+    semi-coarsened hierarchy and MG-CG converges to the block-Jacobi answer."""
+    from femx.assembly_structured import StructuredSolidOperator
+    from femx.mesh import box_tet10_from_cells
+
+    mesh = box_tet10_from_cells((20, 3, 12), (0.05, 0.09, 0.05))
+    st = StructuredSolidOperator.from_mesh(mesh, 2e11, 0.3, dtype=np.float64)
+    mask = np.ones(st.ndof)
+    for node in np.where(mesh.points[:, 0] < 1e-9)[0]:
+        mask[3 * node : 3 * node + 3] = 0.0
+    f = np.zeros(st.ndof)
+    tip = np.where(mesh.points[:, 0] > mesh.points[:, 0].max() - 1e-9)[0]
+    f[3 * tip + 1] = -100.0 / len(tip)
+    st = st.with_free_mask(jnp.asarray(st.to_internal(mask)))
+    fj = jnp.asarray(st.to_internal(f * mask))
+
+    mg = StructuredMultigrid(None, mesh.structured.n_cells, 2e11, 0.3, mask,
+                             spacing=mesh.structured.spacing,
+                             dtype=np.float64, fine_op=st)
+    assert len(mg.levels) == 3
+    assert any(g != (1, 2, 3) for g in mg._coarsen_axes)
+    res = pcg(st.apply_constrained, fj, M_inv_diag=mg, tol=1e-10, maxiter=200)
+    assert bool(res.converged)
+    res_bj = pcg(st.apply_constrained, fj,
+                 M_inv_diag=st.block_jacobi_preconditioner(), tol=1e-10, maxiter=5000)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_bj.x),
+                               atol=float(np.abs(res_bj.x).max()) * 1e-7)
+
+
+def test_mg_auto_path_anisotropic_box_no_crash():
+    """SolidReactionAnalysis solver='mg' on an anisotropic box (the round-1
+    ADVICE medium: used to raise 'cannot realize cell counts')."""
+    from femx.analysis.solid import SolidReactionAnalysis
+
+    mesh = box_tet10(1.0, 0.27, 0.27, 0.1,
+                     fix_points=[(0, 0, 0), (0, 0.27, 0), (0, 0, 0.27), (0, 0.27, 0.27)],
+                     force_points=[(1.0, 0.135, 0.135)])
+    fa = SolidReactionAnalysis(
+        mesh,
+        [{"force_x": 0, "force_y": -100.0, "force_z": 0,
+          "force_x_pstn": 1.0, "force_y_pstn": 0.135, "force_z_pstn": 0.135}],
+        [{"pos_x": 0, "pos_y": y, "pos_z": z, "fix_x": 0, "fix_y": 0, "fix_z": 0}
+         for y, z in [(0, 0), (0.27, 0), (0, 0.27), (0.27, 0.27)]],
+        E=2e11, v=0.3, solver="mg", verbose=False)
+    fa.run_simulation()
+    assert fa.solve_info["method"] in ("structured_multigrid_pcg",
+                                       "structured_block_jacobi_pcg")
+    np.testing.assert_allclose(fa.equilibrium_residual(), 0.0, atol=1e-8)
