@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from femx.mesh import box_tet10
-    from femx.solve.cg import pcg
+    from femx.solve.cg import pcg, pcg_refined
     from femx.solve.multigrid import StructuredMultigrid
 
     on_cpu = jax.default_backend() == "cpu"
@@ -73,10 +73,20 @@ def main():
         res = pcg(op.apply_constrained, fv, M_inv_diag=mg, tol=tol, maxiter=200)
         return res.x, res.iterations, res.residual_norm
 
+    # Refined variant: outer iterative refinement recovers f32 rounding loss
+    # (the f32-on-TPU answer to the reference's f64 SuperLU; BASELINE.json
+    # asks 1e-8-rel parity on deflections).
+    @jax.jit
+    def solve_refined(fv):
+        res = pcg_refined(op.apply_constrained, fv, M_inv_diag=mg, tol=tol,
+                          maxiter=200, refine_steps=2)
+        return res.x, res.iterations, res.residual_norm
+
     t0 = time.perf_counter()
     u, it, rn = solve(fj)
     jax.block_until_ready(u)
-    log(f"compile+first solve: {time.perf_counter() - t0:.1f}s, iters={int(it)}, "
+    t_compile = time.perf_counter() - t0
+    log(f"compile+first solve: {t_compile:.1f}s, iters={int(it)}, "
         f"residual={float(rn):.2e}")
 
     times = []
@@ -93,12 +103,28 @@ def main():
     log(f"sanity: max|u| = {float(jnp.max(jnp.abs(u))):.3e} m; "
         f"tip load 1 kN on {len(tip)} nodes")
 
+    ur, itr, rnr = solve_refined(fj)  # compile
+    jax.block_until_ready(ur)
+    t0 = time.perf_counter()
+    ur, itr, rnr = solve_refined(fj)
+    jax.block_until_ready(ur)
+    _ = float(rnr)
+    t_refined = time.perf_counter() - t0
+    log(f"refined solve (2 refinement passes): {t_refined:.3f}s, "
+        f"total inner iters={int(itr)}, true residual={float(rnr):.2e}")
+
     target = 2.0  # BASELINE.json north star: < 2 s at 1M DOF
     print(json.dumps({
         "metric": "solid_cantilever_mg_solve_wall",
         "value": round(t_best, 4),
         "unit": f"s @ {ndof} DOF (MG-PCG tol {tol:g}, {iters} iters, {np.dtype(dtype).name})",
         "vs_baseline": round(target / t_best, 3),
+        # honest cold/warm split: one-time host setup and one-time XLA
+        # compilation amortize across solves; 'value' is the warm solve.
+        "setup_s": round(t_setup, 2),
+        "compile_s": round(t_compile, 2),
+        "refined_solve_s": round(t_refined, 4),
+        "refined_residual": float(rnr),
     }))
 
 

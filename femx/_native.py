@@ -73,8 +73,7 @@ def parse_numbers(text: str) -> np.ndarray:
         if got >= 0:
             return out[:got]
         # fall through on malformed token
-    try:
-        return np.fromstring(text, sep=" ")  # numpy C fast path
-    except Exception:
-        pass
+    # np.array(split()) raises on malformed tokens — unlike the legacy
+    # np.fromstring(sep=" ") path, which silently truncated at the first bad
+    # token and surfaced later as a confusing IndexError downstream.
     return np.array(text.split(), dtype=np.float64)

@@ -139,7 +139,9 @@ class BeamAnalysis:
         cs, f = bc_mod.beam_group_constraints_and_loads(self.mesh, self.bc_data)
         u = partitioned_solve(K, f, cs.fixed_dofs)
 
-        stresses = self._recover_stresses(np.asarray(u), props_map, group_names, E, G)
+        fe_local = bc_mod.distributed_fixed_end_local(self.mesh, self.bc_data)
+        stresses = self._recover_stresses(np.asarray(u), props_map, group_names, E, G,
+                                          fe_local=fe_local)
         modal = modal_dense(np.asarray(K), np.asarray(M), cs.fixed_dofs, n_modes=n_modes)
 
         self.results = BeamResults(
@@ -158,9 +160,16 @@ class BeamAnalysis:
     # alias matching the reference method name
     run_simulation = run
 
-    def _recover_stresses(self, u, props_map, group_names, E, G) -> np.ndarray:
+    def _recover_stresses(self, u, props_map, group_names, E, G,
+                          fe_local=None) -> np.ndarray:
         """Axial + extreme-fiber bending stress at element ends, averaged per
-        node (reference: BeamSolver.py:420-438)."""
+        node (reference: BeamSolver.py:420-438).
+
+        For members carrying DistributedForce loads, the end forces are
+        k_local (R u_e) MINUS the element's local fixed-end equivalent load
+        vector (fe_local), so recovered end moments include the per-element
+        w L^2/12 term — exact for uniform loads on prismatic members rather
+        than correct only in the refinement limit."""
         n_nodes = len(self.points)
         props_arr = jnp.asarray(
             np.array([props_map[g].as_tuple() for g in group_names], dtype=np.float64)
@@ -175,6 +184,8 @@ class BeamAnalysis:
         f_local = jax.vmap(beam_el.local_end_forces, in_axes=(0, 0, None, None, 0, 0))(
             p1, p2, E, G, props_arr, ue
         )
+        if fe_local is not None:
+            f_local = f_local - jnp.asarray(fe_local, dtype=f_local.dtype)
         A = props_arr[:, 0]
         I_x = props_arr[:, 1]
         I_y = props_arr[:, 2]

@@ -97,7 +97,10 @@ class SolidOperatorSoA:
             - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
             + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
         )
-        inv_det = 1.0 / det
+        # Safe divide: a free node referenced by no element has a zero block;
+        # map it to the identity instead of poisoning PCG with inf/NaN.
+        valid = (jnp.abs(det) > 1e-30).astype(det.dtype)
+        inv_det = valid / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
         inv = [[None] * 3 for _ in range(3)]
         inv[0][0] = (a[1][1] * a[2][2] - a[1][2] * a[2][1]) * inv_det
         inv[0][1] = (a[0][2] * a[2][1] - a[0][1] * a[2][2]) * inv_det
@@ -108,6 +111,8 @@ class SolidOperatorSoA:
         inv[2][0] = (a[1][0] * a[2][1] - a[1][1] * a[2][0]) * inv_det
         inv[2][1] = (a[0][1] * a[2][0] - a[0][0] * a[2][1]) * inv_det
         inv[2][2] = (a[0][0] * a[1][1] - a[0][1] * a[1][0]) * inv_det
+        for i in range(3):  # identity blocks for degenerate (unused) nodes
+            inv[i][i] = inv[i][i] + (1.0 - valid)
         binv_cols = jnp.stack([jnp.stack(row) for row in inv])  # (3, 3, N)
 
         def apply_minv(r):

@@ -41,15 +41,17 @@ def _cell_stiffness(spacing, E_mod, nu, weight, dtype) -> np.ndarray:
     """Exact (81, 81) stiffness of one structured cell (6 Tet10 elements),
     in raster order of the 27 cell-local lattice slots x 3 components."""
     from femx.assembly import SolidOperator, assemble_dense, dof_map
+    from femx.config import host_compute
     from femx.elements.tet10 import material_matrix
     from femx.mesh.generators import box_tet10
 
     hx, hy, hz = spacing
     cell = box_tet10(hx, hy, hz, mesh_size=max(spacing) * 1.01)
     assert cell.num_nodes == 27, cell.num_nodes
-    C = material_matrix(float(E_mod), float(nu), dtype=jnp.float64)
-    op, _ = SolidOperator.from_mesh(cell.points, cell.cells["tetra10"], C, weight=weight)
-    K = np.asarray(assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 81))
+    with host_compute():  # tiny f64 math; avoid a remote TPU compile
+        C = material_matrix(float(E_mod), float(nu), dtype=jnp.float64)
+        op, _ = SolidOperator.from_mesh(cell.points, cell.cells["tetra10"], C, weight=weight)
+        K = np.asarray(assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 81))
     K = 0.5 * (K + K.T)  # enforce exact symmetry before low-precision cast
     return K.astype(dtype)
 
@@ -86,12 +88,14 @@ class StructuredSolidOperator:
         if weight is None:
             weight = GAUSS_WEIGHT_CORRECT
         Kc = _cell_stiffness(info.spacing, E_mod, nu, weight, dtype)
-        return cls(
+        out = cls(
             Kcell=jnp.asarray(Kc),
             n_cells=info.n_cells,
             grid_shape=info.grid_shape,
             weight=float(weight),
         )
+        object.__setattr__(out, "_Kcell_host", Kc)
+        return out
 
     @classmethod
     def from_lattice(cls, n_cells, spacing, E_mod, nu, weight=None, dtype=np.float32):
@@ -107,12 +111,14 @@ class StructuredSolidOperator:
             weight = GAUSS_WEIGHT_CORRECT
         n = tuple(int(v) for v in n_cells)
         Kc = _cell_stiffness(tuple(float(s) for s in spacing), E_mod, nu, weight, dtype)
-        return cls(
+        out = cls(
             Kcell=jnp.asarray(Kc),
             n_cells=n,
             grid_shape=tuple(2 * c + 1 for c in n),
             weight=float(weight),
         )
+        object.__setattr__(out, "_Kcell_host", Kc)
+        return out
 
     def coarsened(self, factor: Sequence[int] = (2, 2, 2)) -> "StructuredSolidOperator":
         """The operator on a lattice coarsened by `factor` per axis.
@@ -128,14 +134,33 @@ class StructuredSolidOperator:
         n = tuple(c // f for c, f in zip(self.n_cells, factor))
         if any(c * f != cf for c, f, cf in zip(n, factor, self.n_cells)):
             raise ValueError(f"cell counts {self.n_cells} not divisible by {factor}")
-        return StructuredSolidOperator(
-            Kcell=2.0 * self.Kcell,
+        Kc = 2.0 * self.Kcell_host
+        out = StructuredSolidOperator(
+            Kcell=jnp.asarray(Kc),
             n_cells=n,
             grid_shape=tuple(2 * c + 1 for c in n),
             weight=self.weight,
         )
+        object.__setattr__(out, "_Kcell_host", Kc)
+        return out
 
     # -- layout bookkeeping --------------------------------------------------
+    # Host-side mirrors: on the axon-tunneled TPU, EVERY device->host
+    # readback (np.asarray of a device array) costs ~2 s through the relay —
+    # measured 90 s of a 113 s multigrid setup. Setup-stage math therefore
+    # runs exclusively on cached numpy copies.
+    @property
+    def Kcell_host(self) -> np.ndarray:
+        if not hasattr(self, "_Kcell_host"):
+            object.__setattr__(self, "_Kcell_host", np.asarray(self.Kcell))
+        return self._Kcell_host
+
+    @property
+    def free_mask_host(self) -> np.ndarray:
+        if not hasattr(self, "_free_mask_host"):
+            object.__setattr__(self, "_free_mask_host", np.asarray(self.free_mask))
+        return self._free_mask_host
+
     @property
     def ndof(self) -> int:
         P = self.grid_shape
@@ -194,9 +219,18 @@ class StructuredSolidOperator:
         return out
 
     def with_free_mask(self, free_mask_internal) -> "StructuredSolidOperator":
-        return dataclasses.replace(
-            self, free_mask=jnp.asarray(free_mask_internal, dtype=self.Kcell.dtype)
+        dt = np.dtype(self.Kcell.dtype)
+        out = dataclasses.replace(
+            self, free_mask=jnp.asarray(free_mask_internal, dtype=dt)
         )
+        # carry host-side caches; stash the mask's host copy when given one
+        for attr in ("_Kcell_host", "_perm"):
+            if hasattr(self, attr):
+                object.__setattr__(out, attr, getattr(self, attr))
+        if isinstance(free_mask_internal, np.ndarray):
+            object.__setattr__(out, "_free_mask_host",
+                               free_mask_internal.astype(dt, copy=False))
+        return out
 
     # -- core ---------------------------------------------------------------
     def _split_phases(self, u: jnp.ndarray) -> List[jnp.ndarray]:
@@ -275,22 +309,25 @@ class StructuredSolidOperator:
         return [vi * s + p * (1.0 - s) for vi, s, p in zip(v, m, phases)]
 
     # -- preconditioning ----------------------------------------------------
-    def block_diagonal_internal(self) -> jnp.ndarray:
-        """(n_nodes, 3, 3) nodal diagonal blocks, nodes in internal order."""
+    def block_diagonal_internal(self) -> np.ndarray:
+        """(n_nodes, 3, 3) nodal diagonal blocks, nodes in internal order.
+
+        Returned as a HOST numpy array: this is setup-stage data consumed by
+        host-side preconditioner construction (a device round-trip here costs
+        seconds through the axon relay)."""
         nx, ny, nz = self.n_cells
-        Kc = np.asarray(self.Kcell).reshape(27, 3, 27, 3)
+        Kc = self.Kcell_host.reshape(27, 3, 27, 3)
         shapes = self._phase_shapes()
-        grids = [np.zeros((s[0], s[1], s[2], 3, 3), dtype=np.asarray(self.Kcell).dtype) for s in shapes]
+        grids = [np.zeros((s[0], s[1], s[2], 3, 3), dtype=Kc.dtype) for s in shapes]
         for s, (a, b, c) in enumerate(_SLOTS):
             pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
             ia, jb, kc = a // 2, b // 2, c // 2
             grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += Kc[s, :, s, :]
-        flat = np.concatenate([g.reshape(-1, 3, 3) for g in grids])
-        return jnp.asarray(flat)
+        return np.concatenate([g.reshape(-1, 3, 3) for g in grids])
 
     def diagonal(self) -> jnp.ndarray:
         """diag(K) in internal layout (components grouped per phase)."""
-        bd = np.asarray(self.block_diagonal_internal())
+        bd = self.block_diagonal_internal()
         shapes = self._phase_shapes()
         parts = []
         pos = 0
@@ -307,11 +344,11 @@ class StructuredSolidOperator:
 
     def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """r -> M^-1 r; internal layout, phase-wise contiguous math."""
-        bd = np.asarray(self.block_diagonal_internal())  # (n_nodes, 3, 3)
+        bd = self.block_diagonal_internal()  # (n_nodes, 3, 3) host
         shapes = self._phase_shapes()
         offs = self._phase_offsets()
         # constrain blocks with the mask, then invert per node (host, once)
-        mask = np.asarray(self.free_mask)
+        mask = self.free_mask_host
         node_pos = 0
         masked = bd.copy()
         for i, s in enumerate(shapes):

@@ -16,6 +16,7 @@ partitioned index sets are also provided for the exact-parity dense paths.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -86,30 +87,41 @@ def solid_point_loads(
 _BEAM_FIX_KEYS = ("fix_x", "fix_y", "fix_z", "fix_rx", "fix_ry", "fix_rz")
 
 
-def _distributed_member_loads(mesh: Mesh, group: str, w_global) -> np.ndarray:
-    """Consistent nodal loads for a uniform line load w (N/m, global) applied
-    to every 'line' element of a physical group.
+def _iter_member_fixed_ends(mesh: Mesh, group: str, w_global):
+    """Yield (elem_index, lam, fe_local) for every 'line' element of `group`
+    under a uniform line load w (N/m, global axes).
 
-    Per element the global load is rotated to member axes, the classical
-    fixed-end load vector is built (wL/2 shears with +-wL^2/12 end moments in
-    each bending plane, wL/2 axial), and rotated back. This capability is
-    beyond the reference (which supports nodal forces only,
-    BeamSolver.py:406-407) and covers BASELINE.json's "point + distributed
-    loads" configuration.
+    fe_local is the classical consistent fixed-end *equivalent load* vector
+    (wL/2 shears with +-wL^2/12 end moments in each bending plane, wL/2
+    axial) in member axes. Warns when the group resolves to no line elements
+    (mirroring the reference's missing-group warnings) — a silently unloaded
+    model is the worst failure mode for a load-assignment typo.
     """
     conn = mesh.cells.get("line")
     tags = mesh.cell_physical.get("line")
     if conn is None or tags is None or group not in mesh.field_data:
-        return np.zeros(6 * mesh.num_nodes)
+        warnings.warn(
+            f"DistributedForce group '{group}' resolves to no line elements "
+            "(missing group or mesh has no tagged 'line' cells); no load applied.",
+            stacklevel=3,
+        )
+        return
     gid = mesh.field_data[group][0]
+    elems = np.where(tags == gid)[0]
+    if len(elems) == 0:
+        warnings.warn(
+            f"DistributedForce group '{group}' contains no line elements; "
+            "no load applied.",
+            stacklevel=3,
+        )
+        return
     w = np.asarray(w_global, dtype=np.float64)
-    f = np.zeros(6 * mesh.num_nodes)
 
     import jax.numpy as jnp
 
     from femx.elements.beam import direction_cosine_matrix
 
-    for e in np.where(tags == gid)[0]:
+    for e in elems:
         n1, n2 = conn[e]
         p1, p2 = mesh.points[n1], mesh.points[n2]
         L = float(np.linalg.norm(p2 - p1))
@@ -123,11 +135,47 @@ def _distributed_member_loads(mesh: Mesh, group: str, w_global) -> np.ndarray:
         fe[5], fe[11] = wl[1] * L**2 / 12.0, -wl[1] * L**2 / 12.0  # theta-z moments
         fe[2] = fe[8] = wl[2] * L / 2.0  # local-z shear
         fe[4], fe[10] = -wl[2] * L**2 / 12.0, wl[2] * L**2 / 12.0  # theta-y (xz sign conv.)
+        yield int(e), lam, fe
+
+
+def _distributed_member_loads(mesh: Mesh, group: str, w_global) -> np.ndarray:
+    """Consistent nodal loads for a uniform line load w (N/m, global) applied
+    to every 'line' element of a physical group.
+
+    Per element the global load is rotated to member axes, the fixed-end
+    equivalent load vector is built, and rotated back. This capability is
+    beyond the reference (which supports nodal forces only,
+    BeamSolver.py:406-407) and covers BASELINE.json's "point + distributed
+    loads" configuration.
+    """
+    conn = mesh.cells.get("line")
+    f = np.zeros(6 * mesh.num_nodes)
+    for e, lam, fe in _iter_member_fixed_ends(mesh, group, w_global):
+        n1, n2 = conn[e]
         R = np.kron(np.eye(4), lam)
         fg = R.T @ fe
         f[6 * n1 : 6 * n1 + 6] += fg[:6]
         f[6 * n2 : 6 * n2 + 6] += fg[6:]
     return f
+
+
+def distributed_fixed_end_local(mesh: Mesh, bc_data: Sequence[dict]):
+    """(n_line_elements, 12) local fixed-end equivalent load vectors summed
+    over all DistributedForce entries of bc_data, or None when bc_data has
+    none. Stress recovery must subtract these from k_local @ (R @ u_e) so
+    end moments on loaded members include the w L^2/12-per-element term."""
+    dist = [bc for bc in bc_data if bc.get("type") == "DistributedForce"]
+    if not dist or "line" not in mesh.cells:
+        return None
+    fe_all = np.zeros((len(mesh.cells["line"]), 12))
+    with warnings.catch_warnings():
+        # missing-group warnings already fired when loads were assembled
+        warnings.simplefilter("ignore")
+        for bc in dist:
+            w = (bc.get("wx", 0.0), bc.get("wy", 0.0), bc.get("wz", 0.0))
+            for e, _lam, fe in _iter_member_fixed_ends(mesh, bc["group"], w):
+                fe_all[e] += fe
+    return fe_all
 
 
 def beam_group_constraints_and_loads(

@@ -31,6 +31,25 @@ if _cache_dir not in ("0", "off", ""):
 _DEFAULT_DTYPE = jnp.float64 if os.environ.get("FEMX_DTYPE", "float64") == "float64" else jnp.float32
 
 
+def host_compute():
+    """Context manager placing jax computations on the host CPU device.
+
+    Setup-stage math (single-cell stiffness, small dense coarse factors)
+    is tiny but, run on the default backend, costs minutes of *remote*
+    compilation on the axon-tunneled TPU — and f64 is emulated there.
+    Wrapping it in `with host_compute():` keeps it a local sub-second CPU
+    compile. No-op (null context) when no separate CPU device exists.
+    """
+    import contextlib
+
+    try:
+        if jax.default_backend() != "cpu":
+            return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        pass
+    return contextlib.nullcontext()
+
+
 def default_dtype():
     """The framework-wide default floating dtype (float64 unless overridden)."""
     return _DEFAULT_DTYPE

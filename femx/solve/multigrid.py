@@ -243,7 +243,7 @@ class StructuredMultigrid:
                 )
             prev_op = op
             m_int = op.to_internal(mgrid.reshape(-1))
-            op = op.with_free_mask(jnp.asarray(m_int, dtype=op.Kcell.dtype))
+            op = op.with_free_mask(m_int)  # numpy in: host mirror cached
             self.levels.append(_Level(op=op, minv=op.block_jacobi_preconditioner()))
 
         # Smoother damping. omega=0.7 is stable and tuned for the uniform
@@ -270,7 +270,7 @@ class StructuredMultigrid:
         K = _dense_structured_K(cmesh, E, nu, cop.weight)
         perm = cop._permutation()
         Kp = K[np.ix_(perm, perm)]
-        m = np.asarray(cop.free_mask, dtype=np.float64)
+        m = cop.free_mask_host.astype(np.float64)
         Kp = Kp * m[:, None] * m[None, :] + np.diag(1.0 - m)
         L = np.linalg.cholesky(Kp)
         self._chol = jnp.asarray(L.astype(dtype))
@@ -316,7 +316,7 @@ def _power_lambda_max(op: StructuredSolidOperator, minv, iters: int = 15) -> flo
     iteration converges to the top eigenvalue; a 5% pad covers the truncated
     iteration. Runs at setup (a handful of operator applies)."""
     rng = np.random.default_rng(7)
-    dt = np.asarray(op.Kcell).dtype
+    dt = op.Kcell_host.dtype
     v = jnp.asarray(rng.standard_normal(op.ndof).astype(dt))
     lam = 1.0
     for _ in range(iters):
@@ -328,9 +328,11 @@ def _power_lambda_max(op: StructuredSolidOperator, minv, iters: int = 15) -> flo
 
 def _dense_structured_K(mesh, E, nu, weight) -> np.ndarray:
     from femx.assembly import SolidOperator, assemble_dense, dof_map
+    from femx.config import host_compute
     from femx.elements.tet10 import material_matrix
 
-    C = material_matrix(float(E), float(nu), dtype=jnp.float64)
-    op, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C, weight=weight)
-    K = assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 3 * mesh.num_nodes)
-    return np.asarray(K)
+    with host_compute():  # small f64 setup math; avoid a remote TPU compile
+        C = material_matrix(float(E), float(nu), dtype=jnp.float64)
+        op, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C, weight=weight)
+        K = assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 3 * mesh.num_nodes)
+        return np.asarray(K)

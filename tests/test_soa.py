@@ -43,3 +43,24 @@ def test_preconditioner_matches(ops):
     pa = np.asarray(aos.block_jacobi_preconditioner()(r))
     pb = np.asarray(soa.block_jacobi_preconditioner()(r))
     np.testing.assert_allclose(pb, pa, rtol=1e-11, atol=np.abs(pa).max() * 1e-12)
+
+
+def test_block_jacobi_degenerate_node_is_finite():
+    """A free node referenced by no element must not poison the
+    preconditioner with inf/NaN (ADVICE round-1 low #3): its block maps to
+    the identity."""
+    import jax.numpy as jnp
+    from femx.assembly_soa import SolidOperatorSoA
+    from femx.mesh import box_tet10
+
+    mesh = box_tet10(0.2, 0.2, 0.2, 0.1)
+    pts = np.concatenate([mesh.points, [[9.0, 9.0, 9.0]]])  # orphan node
+    op, _detj = SolidOperatorSoA.from_mesh(pts, mesh.cells["tetra10"], 2e11, 0.3,
+                                           dtype=np.float64)
+    op = op.with_free_mask(np.ones(op.ndof))
+    minv = op.block_jacobi_preconditioner()
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(op.ndof))
+    z = np.asarray(minv(r))
+    assert np.all(np.isfinite(z))
+    # orphan block acts as identity
+    np.testing.assert_allclose(z[-3:], np.asarray(r)[-3:], rtol=1e-12)
