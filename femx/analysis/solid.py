@@ -187,7 +187,21 @@ class SolidReactionAnalysis:
             if minv is None:
                 minv = op.block_jacobi_preconditioner()
                 method = "structured_block_jacobi_pcg"
-            res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
+            if np.dtype(dtype) == np.float32:
+                # f32 inner solves + f64 outer iterative refinement: the
+                # TPU configuration. A pure-f32 solve cannot push the TRUE
+                # residual below ~1e-2 rel (catastrophic cancellation in
+                # b - K x with K entries ~E*h); see solve.cg.pcg_refined.
+                from femx.solve.cg import pcg_refined
+
+                op64 = op.astype(np.float64)
+                f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
+                res = pcg_refined(op.apply_constrained, f_int, M_inv_diag=minv,
+                                  tol=self.cg_tol, A_residual=op64.apply_constrained,
+                                  b_residual=f64_int)
+                method += "_refined"
+            else:
+                res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
             u_int = res.x
             self.solve_info = {
                 "method": method,

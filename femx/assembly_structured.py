@@ -218,6 +218,22 @@ class StructuredSolidOperator:
         out[self._perm] = np.asarray(y)
         return out
 
+    def astype(self, dtype) -> "StructuredSolidOperator":
+        """The same operator with Kcell/free_mask cast (host-side, no device
+        readbacks). Used to build the float64 residual operator for
+        mixed-precision iterative refinement (solve.cg.pcg_refined)."""
+        dt = np.dtype(dtype)
+        Kc = self.Kcell_host.astype(dt)
+        out = dataclasses.replace(self, Kcell=jnp.asarray(Kc))
+        object.__setattr__(out, "_Kcell_host", Kc)
+        if hasattr(self, "_perm"):
+            object.__setattr__(out, "_perm", self._perm)
+        if self.free_mask is not None:
+            m = self.free_mask_host.astype(dt)
+            object.__setattr__(out, "free_mask", jnp.asarray(m))
+            object.__setattr__(out, "_free_mask_host", m)
+        return out
+
     def with_free_mask(self, free_mask_internal) -> "StructuredSolidOperator":
         dt = np.dtype(self.Kcell.dtype)
         out = dataclasses.replace(

@@ -124,11 +124,19 @@ _SIGN_XZ = np.array([1.0, -1.0, 1.0, -1.0])
 
 def consistent_mass(L, A, I_x, I_y, J, rho):
     """12x12 consistent mass with rotary inertia (not present in the
-    reference; exposed because modal configs call for consistent vs lumped)."""
+    reference; exposed because modal configs call for consistent vs lumped).
+
+    Torsional kinetic energy is rho*Ip*(dtheta/dt)^2/2 with the POLAR moment
+    Ip = I_x + I_y — not the St-Venant torsion constant J, which belongs in
+    the stiffness only (using J here is a classic modeling error; for open
+    thin-walled sections Ip/J ~ 40, i.e. torsional frequencies off by ~6x).
+    The J argument is kept for signature parity with the stiffness kernel
+    and the lumped-mass kernel (which mirrors the reference's rho*J*L/2,
+    BeamSolver.py:662-675)."""
     m = jnp.zeros((12, 12))
-    # Axial & torsion
+    # Axial & torsion (polar moment)
     ax = rho * A * L * jnp.asarray(_M_AX)
-    tr = rho * J * L * jnp.asarray(_M_AX)
+    tr = rho * (I_x + I_y) * L * jnp.asarray(_M_AX)
     for (a, b), blk in (((0, 6), ax), ((3, 9), tr)):
         idx = jnp.array([a, b])
         m = m.at[jnp.ix_(idx, idx)].add(blk)

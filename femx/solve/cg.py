@@ -109,23 +109,62 @@ def pcg_refined(
     tol: float = 1e-8,
     maxiter: int = 10000,
     refine_steps: int = 2,
+    A_residual: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    residual_dtype=None,
+    b_residual=None,
 ) -> CGResult:
-    """PCG with outer iterative refinement.
+    """Mixed-precision PCG: low-precision inner solves + high-precision
+    outer iterative refinement.
 
-    On TPU the inner solve typically runs in float32; recomputing the true
-    residual and re-solving for the correction recovers accuracy lost to
-    accumulated rounding (the f32-on-TPU answer to the reference's f64
-    SuperLU solve). With refine_steps=0 this is plain `pcg`.
+    The f32-on-TPU answer to the reference's f64 SuperLU solve. A pure-f32
+    refinement is USELESS here: with K entries ~E*h (~1e9) and b ~O(1), the
+    f32 evaluation of b - A x carries ~1e-2 relative noise from cancellation
+    (measured on the 1.39M-DOF bench), so the true residual never improves.
+    The residual must be evaluated in high precision:
+
+      r_k = b - A x_k        in residual_dtype (float64 by default)
+      d_k = A^-1 r_k         inner PCG in b's (low) precision
+      x_{k+1} = x_k + d_k    accumulated in residual_dtype
+
+    Args:
+      A_residual: high-precision version of the operator used for the
+        residual evaluations (e.g. the structured operator rebuilt with a
+        float64 cell matrix). Defaults to A (then refinement only helps if
+        A/b are already high-precision).
+      residual_dtype: accumulation dtype (default float64 when x64 enabled).
+      b_residual: the UNROUNDED right-hand side for residual evaluation.
+        If b was already cast to the low precision, refinement converges to
+        the solution of the perturbed system (a ~2^-26 relative error
+        floor, measured); pass the original high-precision b here to remove
+        it. Defaults to b cast up.
+
+    Returns x in residual_dtype with residual_norm the TRUE relative
+    residual ||b - A x|| / ||b|| evaluated in high precision.
     """
+    if A_residual is None:
+        A_residual = A
+    if residual_dtype is None:
+        residual_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    low_dtype = jax.tree.leaves(jax.tree.map(jnp.asarray, b))[0].dtype
+
+    def to_high(v):
+        return jax.tree.map(lambda vi: jnp.asarray(vi, dtype=residual_dtype), v)
+
+    def to_low(v):
+        return jax.tree.map(lambda vi: jnp.asarray(vi, dtype=low_dtype), v)
+
     result = pcg(A, b, M_inv_diag, tol=tol, maxiter=maxiter)
-    x, total_it = result.x, result.iterations
+    b_h = to_high(b if b_residual is None else b_residual)
+    x_h = to_high(result.x)
+    total_it = result.iterations
     for _ in range(refine_steps):
-        r = jax.tree.map(lambda bi, ai: bi - ai, b, A(x))
-        corr = pcg(A, r, M_inv_diag, tol=tol, maxiter=maxiter)
-        x = _taxpy(1.0, corr.x, x)
+        r_h = jax.tree.map(lambda bi, ai: bi - ai, b_h, A_residual(x_h))
+        corr = pcg(A, to_low(r_h), M_inv_diag, tol=tol, maxiter=maxiter)
+        x_h = jax.tree.map(lambda xi, di: xi + jnp.asarray(di, dtype=residual_dtype),
+                           x_h, corr.x)
         total_it = total_it + corr.iterations
-    r = jax.tree.map(lambda bi, ai: bi - ai, b, A(x))
-    bnorm = jnp.sqrt(_tvdot(b, b))
+    r_h = jax.tree.map(lambda bi, ai: bi - ai, b_h, A_residual(x_h))
+    bnorm = jnp.sqrt(_tvdot(b_h, b_h))
     bnorm_safe = jnp.where(bnorm > 0, bnorm, 1.0)
-    res = jnp.sqrt(_tvdot(r, r)) / bnorm_safe
-    return CGResult(x=x, iterations=total_it, residual_norm=res, converged=res <= tol)
+    res = jnp.sqrt(_tvdot(r_h, r_h)) / bnorm_safe
+    return CGResult(x=x_h, iterations=total_it, residual_norm=res, converged=res <= tol)
