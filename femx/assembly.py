@@ -17,7 +17,7 @@ All functions are jit-compatible; element counts are static per mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 

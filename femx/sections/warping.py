@@ -270,17 +270,20 @@ def warping_constants(
 
 def _default_mesh_size(geom: SectionGeometry) -> float:
     """Reference rule: min wall thickness / 10 (BeamSolver.py:58-64),
-    approximated from geometry extents when thickness is unknown."""
+    approximated from the geometry when thickness is unknown.
+
+    The thickness estimate t ~ 2*area/perimeter applies to hole-less OPEN
+    thin sections (I/C/L) as much as to hollow ones — the old extent/24
+    fallback for hole-less shapes was ~5x too coarse on a 50x25x5 I-section
+    (round-1 advisor finding). Chunky solid sections keep extent/24 via the
+    min() (for a solid square t/6 ~ extent/12 > extent/24)."""
     v = geom.all_vertices()
     extent = (v.max(axis=0) - v.min(axis=0)).min()
-    if geom.holes:
-        # thin-walled: estimate wall thickness from area / half-perimeter
-        from femx.sections.properties import polygon_moments
+    from femx.sections.properties import polygon_moments
 
-        A, *_ = polygon_moments(geom)
-        per = 0.0
-        for loop in [geom.outer] + geom.holes:
-            per += np.linalg.norm(np.roll(loop, -1, axis=0) - loop, axis=1).sum()
-        t_est = 2.0 * A / per
-        return max(t_est / 6.0, extent / 200.0)
-    return extent / 24.0
+    A, *_ = polygon_moments(geom)
+    per = 0.0
+    for loop in [geom.outer] + geom.holes:
+        per += np.linalg.norm(np.roll(loop, -1, axis=0) - loop, axis=1).sum()
+    t_est = 2.0 * A / per
+    return max(min(t_est / 6.0, extent / 24.0), extent / 200.0)

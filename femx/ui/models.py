@@ -214,6 +214,33 @@ class BeamAnalysisModel:
             return True
         return False
 
+    def edit_item(self, row: int, new_params: Optional[dict] = None,
+                  rotate: Optional[bool] = None,
+                  new_bc: Optional[dict] = None) -> bool:
+        """Edit a list row in place (reference: edit_item BeamSolver.py:252-271).
+
+        Rows index section assignments first, then BCs (same ordering as
+        list_items). Section rows take new_params / rotate and keep their
+        group and type; BC rows take new_bc (a full BC dict) and keep their
+        group — exactly the reference dialog's accept semantics."""
+        n_s = len(self.section_data)
+        if 0 <= row < n_s:
+            data = self.section_data[row]
+            if new_params is not None:
+                p = dict(new_params)
+                data["rotate"] = p.pop("rotate", data.get("rotate", False))
+                data["params"] = p
+            if rotate is not None:
+                data["rotate"] = bool(rotate)
+            return True
+        if 0 <= row - n_s < len(self.bc_data) and new_bc is not None:
+            old = self.bc_data[row - n_s]
+            item = dict(new_bc)
+            item["group"] = old["group"]  # group is not editable (reference)
+            self.bc_data[row - n_s] = item
+            return True
+        return False
+
     def list_items(self) -> List[str]:
         """Display strings (reference: update_list_view BeamSolver.py:283-298)."""
         out = []

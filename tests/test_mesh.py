@@ -107,3 +107,85 @@ def test_nearest_node_with_candidates():
     assert nearest_node(pts, (0.9, 0, 0)) == 1
     # restricted to candidates -> snaps within the group only
     assert nearest_node(pts, (0.9, 0, 0), candidates=np.array([0, 2])) == 0
+
+
+def test_binary_msh22_roundtrip(tmp_path):
+    """Binary 2.2 write -> read reproduces points, cells, groups exactly
+    (parity with the reference's meshio binary ingest)."""
+    from femx.mesh import box_tet10, read_msh, write_msh
+
+    mesh = box_tet10(0.2, 0.1, 0.1, 0.05,
+                     force_points=[(0.2, 0.05, 0.05)], fix_points=[(0, 0, 0)])
+    p = tmp_path / "bin22.msh"
+    write_msh(str(p), mesh, binary=True)
+    assert open(p, "rb").read(40).split(b"\n")[1] == b"2.2 1 8"
+    m2 = read_msh(str(p))
+    np.testing.assert_allclose(m2.points, mesh.points, rtol=0, atol=0)
+    for k in mesh.cells:
+        np.testing.assert_array_equal(m2.cells[k], mesh.cells[k])
+        np.testing.assert_array_equal(m2.cell_physical[k], mesh.cell_physical[k])
+    assert m2.field_data == mesh.field_data
+
+
+def test_binary_msh41_reference_asset_reencoded(tmp_path):
+    """Binary 4.1: re-encode the reference's shipped cantilever_beam asset
+    into binary bytes and check the reader reproduces the ASCII parse."""
+    import struct
+
+    from femx.mesh import read_msh
+
+    ref = read_msh("/root/reference/cantilever_beam")
+
+    out = bytearray()
+    out += b"$MeshFormat\n4.1 1 8\n"
+    out += struct.pack("<i", 1)
+    out += b"\n$EndMeshFormat\n"
+    out += b"$PhysicalNames\n%d\n" % len(ref.field_data)
+    for name, (tag, dim) in sorted(ref.field_data.items(), key=lambda kv: kv[1][0]):
+        out += f'{dim} {tag} "{name}"\n'.encode()
+    out += b"$EndPhysicalNames\n"
+    # Entities: one point entity per vertex cell + one curve for the lines
+    vc = ref.cells["vertex"].ravel()
+    vp = ref.cell_physical["vertex"]
+    lp = int(ref.cell_physical["line"][0])
+    out += b"$Entities\n"
+    out += struct.pack("<4q", len(vc), 1, 0, 0)
+    for i, (node, ptag) in enumerate(zip(vc, vp), start=1):
+        out += struct.pack("<i", i)
+        out += struct.pack("<3d", *ref.points[node])
+        out += struct.pack("<q", 1) + struct.pack("<i", int(ptag))
+    out += struct.pack("<i", 1) + struct.pack("<6d", *([0.0] * 6))
+    out += struct.pack("<q", 1) + struct.pack("<i", lp)
+    out += struct.pack("<q", 0)
+    out += b"$EndEntities\n"
+    # Nodes: single block
+    n = ref.num_nodes
+    out += b"$Nodes\n"
+    out += struct.pack("<4q", 1, n, 1, n)
+    out += struct.pack("<3i", 1, 1, 0) + struct.pack("<q", n)
+    out += np.arange(1, n + 1, dtype="<i8").tobytes()
+    out += np.asarray(ref.points, dtype="<f8").tobytes()
+    out += b"\n$EndNodes\n"
+    # Elements: one block per vertex + one for the lines
+    n_blocks = len(vc) + 1
+    n_elems = len(vc) + len(ref.cells["line"])
+    out += b"$Elements\n"
+    out += struct.pack("<4q", n_blocks, n_elems, 1, n_elems)
+    eid = 1
+    for i, node in enumerate(vc, start=1):
+        out += struct.pack("<3i", 0, i, 15) + struct.pack("<q", 1)
+        out += struct.pack("<2q", eid, int(node) + 1)
+        eid += 1
+    lines = ref.cells["line"]
+    out += struct.pack("<3i", 1, 1, 1) + struct.pack("<q", len(lines))
+    for row in lines:
+        out += struct.pack("<3q", eid, int(row[0]) + 1, int(row[1]) + 1)
+        eid += 1
+    out += b"\n$EndElements\n"
+
+    m2 = read_msh(bytes(out))
+    np.testing.assert_allclose(m2.points, ref.points)
+    np.testing.assert_array_equal(m2.cells["line"], ref.cells["line"])
+    np.testing.assert_array_equal(np.sort(m2.cells["vertex"].ravel()),
+                                  np.sort(vc))
+    assert m2.field_data == ref.field_data

@@ -117,3 +117,33 @@ def test_qt_gated_cleanly():
     assert qt.QT_AVAILABLE is False  # this environment has no PyQt5
     with pytest.raises(RuntimeError, match="PyQt5"):
         qt.launch()
+
+
+def test_beam_edit_item_semantics():
+    """edit_item mirrors the reference dialog-accept semantics
+    (BeamSolver.py:252-271): section rows keep group/type and take new
+    params+rotate; BC rows are replaced wholesale but keep their group."""
+    from femx.ui.models import BeamAnalysisModel
+
+    m = BeamAnalysisModel()
+    m.assign_section("beam", "I section",
+                     {"d": 0.05, "b": 0.025, "t_w": 0.005, "t_f": 0.005, "r": 0.001})
+    m.assign_bc("fix", {"type": "Fix", "fix_x": True, "fix_y": True, "fix_z": True})
+
+    # section row: params replaced, rotate popped out of the param dict
+    assert m.edit_item(0, new_params={"d": 0.06, "b": 0.03, "t_w": 0.004,
+                                      "t_f": 0.004, "r": 0.001, "rotate": True})
+    sec = m.section_data[0]
+    assert sec["group"] == "beam" and sec["type"] == "I section"
+    assert sec["params"]["d"] == 0.06 and "rotate" not in sec["params"]
+    assert sec["rotate"] is True
+
+    # BC row: new data, group preserved even if the caller supplies one
+    assert m.edit_item(1, new_bc={"group": "IGNORED", "type": "Force",
+                                  "force_y": -500.0})
+    bc = m.bc_data[0]
+    assert bc["group"] == "fix" and bc["type"] == "Force"
+    assert bc["force_y"] == -500.0
+
+    # out-of-range rows report failure
+    assert not m.edit_item(5, new_params={})
