@@ -61,6 +61,33 @@ def _cell_stiffness(spacing, E_mod, nu, weight, dtype) -> np.ndarray:
 _SLOTS = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
 
 
+def _cell_lumped_mass(spacing, rho) -> np.ndarray:
+    """(27,) HRZ-lumped nodal masses of one structured cell (6 straight Tet10
+    elements), raster slot order. Exact per-cell total: rho * hx*hy*hz.
+
+    The reference has no solid mass at all (modal analysis is beam-only,
+    BeamSolver.py:440-455); this feeds femx's large-scale solid modal path."""
+    from femx.elements.tet10 import MASS_HAT
+    from femx.mesh.generators import box_tet10
+
+    hx, hy, hz = (float(s) for s in spacing)
+    cell = box_tet10(hx, hy, hz, mesh_size=max(hx, hy, hz) * 1.01)
+    assert cell.num_nodes == 27, cell.num_nodes
+    conn = np.asarray(cell.cells["tetra10"])  # (6, 10)
+    pts = np.asarray(cell.points)
+    c0 = pts[conn[:, 0]]
+    vol = np.abs(np.einsum(
+        "ei,ei->e",
+        pts[conn[:, 1]] - c0,
+        np.cross(pts[conn[:, 2]] - c0, pts[conn[:, 3]] - c0),
+    )) / 6.0  # (6,) straight-tet volumes
+    frac = np.diag(MASS_HAT) / np.diag(MASS_HAT).sum()  # (10,) sums to 1
+    lumped = float(rho) * vol[:, None] * frac[None, :]  # (6, 10)
+    out = np.zeros(27)
+    np.add.at(out, conn.reshape(-1), lumped.reshape(-1))
+    return out
+
+
 @dataclasses.dataclass
 class StructuredSolidOperator:
     """Matrix-free K for a structured box Tetra10 mesh.
@@ -76,6 +103,7 @@ class StructuredSolidOperator:
     grid_shape: Tuple[int, int, int]
     weight: float
     free_mask: Optional[jnp.ndarray] = None  # internal layout
+    spacing: Optional[Tuple[float, float, float]] = None  # cell spacing (mass)
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -93,6 +121,7 @@ class StructuredSolidOperator:
             n_cells=info.n_cells,
             grid_shape=info.grid_shape,
             weight=float(weight),
+            spacing=tuple(float(s) for s in info.spacing),
         )
         object.__setattr__(out, "_Kcell_host", Kc)
         return out
@@ -110,12 +139,14 @@ class StructuredSolidOperator:
         if weight is None:
             weight = GAUSS_WEIGHT_CORRECT
         n = tuple(int(v) for v in n_cells)
-        Kc = _cell_stiffness(tuple(float(s) for s in spacing), E_mod, nu, weight, dtype)
+        sp = tuple(float(s) for s in spacing)
+        Kc = _cell_stiffness(sp, E_mod, nu, weight, dtype)
         out = cls(
             Kcell=jnp.asarray(Kc),
             n_cells=n,
             grid_shape=tuple(2 * c + 1 for c in n),
             weight=float(weight),
+            spacing=sp,
         )
         object.__setattr__(out, "_Kcell_host", Kc)
         return out
@@ -140,6 +171,8 @@ class StructuredSolidOperator:
             n_cells=n,
             grid_shape=tuple(2 * c + 1 for c in n),
             weight=self.weight,
+            spacing=None if self.spacing is None
+            else tuple(s * f for s, f in zip(self.spacing, factor)),
         )
         object.__setattr__(out, "_Kcell_host", Kc)
         return out
@@ -357,6 +390,25 @@ class StructuredSolidOperator:
     def constrained_diagonal(self) -> jnp.ndarray:
         s = self.free_mask
         return self.diagonal() * s + (1.0 - s)
+
+    def lumped_mass_diagonal(self, rho: float) -> np.ndarray:
+        """(ndof,) HRZ-lumped mass diagonal, INTERNAL layout, host numpy.
+
+        Every cell contributes the same (27,) slot masses (uniform lattice),
+        so assembly is a constant overlap-add per slot slice — no per-element
+        work. Total mass is exactly rho * box volume per component."""
+        if self.spacing is None:
+            raise ValueError("operator has no spacing metadata (needed for mass)")
+        nx, ny, nz = self.n_cells
+        mcell = _cell_lumped_mass(self.spacing, rho)  # (27,)
+        shapes = self._phase_shapes()
+        grids = [np.zeros(s) for s in shapes]
+        for s_idx, (a, b, c) in enumerate(_SLOTS):
+            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
+            ia, jb, kc = a // 2, b // 2, c // 2
+            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += mcell[s_idx]
+        parts = [np.broadcast_to(g, (3,) + g.shape).reshape(-1) for g in grids]
+        return np.concatenate(parts)
 
     def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """r -> M^-1 r; internal layout, phase-wise contiguous math."""

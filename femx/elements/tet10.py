@@ -172,6 +172,97 @@ def element_apply(dN, wdet, C, ue, weight=GAUSS_WEIGHT_CORRECT):
     return fe
 
 
+def _mass_matrix_hat() -> np.ndarray:
+    """Mhat[i,j] = (1/V) * integral(N_i N_j dV) over a STRAIGHT-sided Tet10.
+
+    Exact closed form (module-load constant): each shape function is a
+    quadratic polynomial in the barycentric coordinates (N_corner_i =
+    L_i(2L_i - 1), N_edge_ij = 4 L_i L_j), and barycentric monomials
+    integrate exactly over any straight tet:
+
+        integral(L1^a L2^b L3^c L4^d dV) = 6V * a! b! c! d! / (a+b+c+d+3)!
+
+    so Mhat is dimensionless and geometry-independent. The reference has no
+    solid mass matrix at all (modal analysis exists only for beams,
+    BeamSolver.py:440-455); this supports femx's large-scale solid modal
+    path, a rebuild extension named in BASELINE.json ("first-10-modes eig
+    time")."""
+    from math import factorial
+
+    # Shape functions as {exponent-4-tuple: coeff} monomial dicts.
+    def corner(i):
+        e2 = [0, 0, 0, 0]
+        e2[i] = 2
+        e1 = [0, 0, 0, 0]
+        e1[i] = 1
+        return {tuple(e2): 2.0, tuple(e1): -1.0}
+
+    def edge(i, j):
+        e = [0, 0, 0, 0]
+        e[i] += 1
+        e[j] += 1
+        return {tuple(e): 4.0}
+
+    # gmsh Tet10 node order: 4 vertices then midsides on edges
+    # (0,1),(1,2),(0,2),(0,3),(1,3),(2,3) — same as DN_NATURAL above.
+    shapes = [corner(i) for i in range(4)] + [
+        edge(0, 1), edge(1, 2), edge(0, 2), edge(0, 3), edge(1, 3), edge(2, 3)
+    ]
+
+    def integral(mono):  # integral(prod L^e dV) / V
+        s = sum(mono)
+        num = 6.0
+        for e in mono:
+            num *= factorial(e)
+        return num / factorial(s + 3)
+
+    M = np.zeros((10, 10))
+    for i in range(10):
+        for j in range(i, 10):
+            acc = 0.0
+            for ei, ci in shapes[i].items():
+                for ej, cj in shapes[j].items():
+                    acc += ci * cj * integral(tuple(a + b for a, b in zip(ei, ej)))
+            M[i, j] = M[j, i] = acc
+    return M
+
+
+MASS_HAT = _mass_matrix_hat()  # (10, 10), exact, straight-sided tets
+
+
+def element_volume(coords) -> jnp.ndarray:
+    """Signed volumes of straight tets from their 4 corner nodes (E,)."""
+    c = jnp.asarray(coords)
+    v1 = c[:, 1, :] - c[:, 0, :]
+    v2 = c[:, 2, :] - c[:, 0, :]
+    v3 = c[:, 3, :] - c[:, 0, :]
+    return jnp.sum(v1 * jnp.cross(v2, v3), axis=-1) / 6.0
+
+
+def element_mass_consistent(coords, rho) -> jnp.ndarray:
+    """Batched exact consistent mass for straight-sided Tet10 elements.
+
+    Me[(i,c),(j,d)] = rho * V * Mhat[i,j] * delta_cd, DOF order node-major /
+    xyz-minor (matching element_stiffness). Valid for straight tets (femx's
+    structured lattice cells and gmsh's default un-curved tets)."""
+    V = element_volume(coords)
+    mhat = jnp.asarray(MASS_HAT, dtype=V.dtype)
+    m_node = rho * V[:, None, None] * mhat  # (E, 10, 10)
+    eye3 = jnp.eye(3, dtype=V.dtype)
+    me = jnp.einsum("eij,cd->eicjd", m_node, eye3)
+    return me.reshape(-1, 30, 30)
+
+
+def element_mass_lumped(coords, rho) -> jnp.ndarray:
+    """Batched HRZ-lumped nodal masses (E, 10): diagonal of the consistent
+    mass scaled so each element's total mass is preserved (rho*V). All
+    entries positive (row-sum lumping would go negative on Tet10 corners)."""
+    V = element_volume(coords)
+    d = np.diag(MASS_HAT)
+    d = d / d.sum()  # fractions summing to 1
+    return rho * V[:, None] * jnp.asarray(d, dtype=V.dtype)
+
+
 def element_strain_stress(dN, C, ue):
     """Per-gauss-point strain and stress tensors (Voigt) for postprocessing."""
     sel = jnp.asarray(_SEL, dtype=ue.dtype)
