@@ -293,7 +293,24 @@ class StructuredSolidOperator:
         return jnp.concatenate([g.reshape(-1) for g in grids])
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
-        """K @ u (internal layout)."""
+        """K @ u (internal layout).
+
+        Set FEMX_PALLAS_APPLY=1 to route the gather+matmul stage through the
+        fused Pallas kernel (femx.elements.pallas_structured; measured at
+        parity with this XLA formulation on v5e — kept opt-in)."""
+        import os
+
+        if os.environ.get("FEMX_PALLAS_APPLY") == "1" and jax.default_backend() != "cpu":
+            from femx.elements.pallas_structured import (
+                apply_structured_pallas,
+                ensure_tpu_compile_env,
+                pallas_applicable,
+            )
+
+            for cx in (4, 2, 1):
+                if pallas_applicable(self.n_cells, cx):
+                    ensure_tpu_compile_env()
+                    return apply_structured_pallas(self, u, cx=cx)
         nx, ny, nz = self.n_cells
         C = nx * ny * nz
         phases = self._split_phases(u)

@@ -20,26 +20,75 @@ element index) — and the kernel concatenates them.
 `interpret=True` runs the kernel on CPU for tests; equality with the XLA
 path is enforced by tests/test_pallas.py.
 
-STATUS: interpret-mode validated (bit-exact vs the XLA apply). The Mosaic
-compiler on this deployment rejects several otherwise-standard lowering
-patterns the kernel needs (shape-casts merging lane dims, dynamic_slice on
-values, and a residual `func.return` legalization failure on the strip-loop
-variant), so the compiled-TPU path is not enabled in production; the XLA
-formulation in femx.assembly_structured remains the default (and already
-exceeds the performance target by >12x). Revisit when the runtime's
-jax/mosaic version advances.
+STATUS (updated 2026-08-16, round 2): the round-1 blockers are root-caused
+and the kernel now COMPILES AND RUNS BIT-EXACT on the real chip:
+
+1. The axon deployment's remote-compile helper runs with a scrubbed
+   environment and libtpu-init fails before Mosaic even starts (HTTP 500
+   from tpu_compile_helper). Fix: provide TPU metadata in the client env —
+   `ensure_tpu_compile_env()` below sets TPU_ACCELERATOR_TYPE /
+   TPU_WORKER_HOSTNAMES / TPU_WORKER_ID, which the helper forwards.
+2. The "func.return legalization" failure was i64 CONSTANTS in the
+   BlockSpec index_maps: under jax_enable_x64 a literal `0` traces as i64
+   while the grid index stays i32, and Mosaic cannot legalize the mixed
+   (i64, i32, i64, i64) return. Fix: np.int32 constants in every index_map
+   (jnp values are rejected — index maps may not capture tracers).
+3. Minimal repros for the lowering patterns live in
+   examples/pallas_mosaic_repros.py. On the current stack: lane-merging
+   reshape into 128-aligned lanes PASSES, fori_loop with int carry PASSES
+   (x64 on or off), dynamic_slice on a VALUE still fails (unimplemented
+   primitive), lane merges into non-128 lanes still fail
+   (infer-vector-layout "unsupported shape cast").
+
+Measured on TPU v5e at 1.39M DOF (24,24,96 cells), in-jit fori_loop
+differencing: XLA apply 0.878 ms; this kernel 0.908-0.926 ms (cx=8/2) —
+parity, not a win: the (81, nz=96) strip dots pad the MXU heavily, and the
+one-big-dot variant needs the non-128 lane merge Mosaic still rejects
+(pad nz to 128 lanes to enable it — future work). Since the apply is ~7%
+of an MG-PCG iteration, the XLA formulation remains the production default;
+the compiled kernel is kept as a validated alternative
+(FEMX_PALLAS_APPLY=1 enables it in StructuredSolidOperator.apply).
 """
 
 from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from femx.assembly_structured import _SLOTS
+
+
+def ensure_tpu_compile_env() -> None:
+    """Provide the TPU metadata the axon remote-compile helper needs.
+
+    The helper subprocess runs env-scrubbed; without these, libtpu-init
+    fails (HTTP 500) before Mosaic compilation starts. Values are derived
+    from the visible device; setdefault keeps explicit user settings.
+    """
+    import os
+
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return
+    if "tpu" not in kind:
+        return
+    if "v5 lite" in kind or "v5e" in kind:
+        acc = "v5litepod-1"
+    elif "v5p" in kind or "v5" in kind:
+        acc = "v5p-8"
+    elif "v4" in kind:
+        acc = "v4-8"
+    else:
+        acc = "v5litepod-1"
+    os.environ.setdefault("TPU_ACCELERATOR_TYPE", acc)
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    os.environ.setdefault("TPU_WORKER_ID", "0")
 
 
 def pallas_applicable(n_cells: Tuple[int, int, int], cx: int) -> bool:
@@ -75,24 +124,33 @@ def structured_cell_matmul(
     body0 = [phases[i] for i in (0, 1, 2, 3)]  # px = 0 phases (sx = nx+1)
     body1 = [phases[i] for i in (4, 5, 6, 7)]  # px = 1 phases (sx = nx)
 
+    # Index maps must return i32 everywhere: under jax_enable_x64 a literal
+    # `0` traces as i64 and Mosaic then fails to legalize the index-map's
+    # func.return with mixed (i64, i32, i64, i64) operands (the round-1
+    # "func.return" blocker — root-caused 2026-08-16, see module docstring).
+    # A numpy scalar (not a jnp value: index maps may not capture tracers)
+    # keeps the constant strongly-typed i32.
+    z = np.int32(0)
+
     def spec_body(g):
         sy, sz = g.shape[2], g.shape[3]
-        return pl.BlockSpec((3, cx, sy, sz), index_map=lambda k: (0, k, 0, 0),
+        return pl.BlockSpec((3, cx, sy, sz), index_map=lambda k: (z, k, z, z),
                             memory_space=pltpu.VMEM)
 
     def spec_plane(g):
         sy, sz = g.shape[2], g.shape[3]
         # block x-size 1 => block index == element plane index
-        return pl.BlockSpec((3, 1, sy, sz), index_map=lambda k: (0, (k + 1) * cx, 0, 0),
+        return pl.BlockSpec((3, 1, sy, sz),
+                            index_map=lambda k: (z, (k + 1) * cx, z, z),
                             memory_space=pltpu.VMEM)
 
     in_specs = (
         [spec_body(g) for g in body0]
         + [spec_plane(g) for g in body0]
         + [spec_body(g) for g in body1]
-        + [pl.BlockSpec((81, 81), index_map=lambda k: (0, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((81, 81), index_map=lambda k: (z, z), memory_space=pltpu.VMEM)]
     )
-    out_spec = pl.BlockSpec((1, 81, cx, ny, nz), index_map=lambda k: (k, 0, 0, 0, 0),
+    out_spec = pl.BlockSpec((1, 81, cx, ny, nz), index_map=lambda k: (k, z, z, z, z),
                             memory_space=pltpu.VMEM)
 
     def kernel(*refs):
@@ -104,12 +162,15 @@ def structured_cell_matmul(
         out_scratch = refs[14]  # (81, cx, ny, nz) VMEM chunk accumulator
         ue_scratch = refs[15]  # (81, nz) VMEM
 
-        # Mosaic cannot shape-cast (...,ny,nz) lane merges, so the MXU sees
-        # one (81, nz) strip per local (x, y) cell column: 81 row reads
-        # (directly from the block refs — Mosaic has no dynamic_slice on
-        # values) into VMEM scratch, then a 2D dot. The px=0 phases' x-window
-        # spans cx+1 planes split across body/plane refs; a select stitches
-        # the boundary plane in.
+        # One (81, nz) strip per local (x, y) cell column: 81 row reads
+        # (directly from the block refs) into VMEM scratch, then a 2D dot.
+        # A single big (81, cx*ny*nz) dot would be ~2-3x less MXU padding,
+        # but Mosaic only legalizes lane-MERGING reshapes into 128-aligned
+        # lanes (measured 2026-08-16: (8,4,128)->(8,512) compiles,
+        # (1,2,4,8)->(1,64) and (3,cx,ny,96)->(3,cx*ny*96) are rejected by
+        # infer-vector-layout), so the strip loop stays until nz is padded
+        # to 128 lanes. The px=0 phases' x-window spans cx+1 planes split
+        # across body/plane refs; a select stitches the boundary plane in.
         def strip(q, carry):
             q = q.astype(jnp.int32)  # Mosaic rejects 64-bit index math (x64 mode)
             x = q // jnp.int32(ny)
