@@ -187,6 +187,7 @@ class SolidReactionAnalysis:
             if minv is None:
                 minv = op.block_jacobi_preconditioner()
                 method = "structured_block_jacobi_pcg"
+            self._precond = minv
             if np.dtype(dtype) == np.float32:
                 # f32 inner solves + f64 outer iterative refinement: the
                 # TPU configuration. A pure-f32 solve cannot push the TRUE
@@ -230,6 +231,7 @@ class SolidReactionAnalysis:
             self.solve_info = {"method": "dense_cholesky"}
         else:
             minv = op.block_jacobi_preconditioner()
+            self._precond = minv
             res = pcg(op.apply_constrained, f * free_mask, M_inv_diag=minv, tol=self.cg_tol)
             u = res.x
             self.solve_info = {
@@ -276,6 +278,77 @@ class SolidReactionAnalysis:
         self.nodal_stress = nodal
         self.nodal_von_mises = vm
         return nodal, vm
+
+    def modal(self, n_modes: int = 10, rho: float = 7850.0, tol: float = 1e-6,
+              maxiter: int = 100, inner_tol: Optional[float] = None):
+        """First n_modes natural frequencies/shapes of the constrained solid.
+
+        Extension beyond the reference (its modal analysis is beam-only,
+        BeamSolver.py:440-455; the solid product reports statics only) and a
+        BASELINE.json north-star metric ("first-10-modes eig time"). Mass is
+        HRZ-lumped Tet10 (exact element totals); the eigensolver is
+        shift-invert Lanczos whose inner K-solves reuse the preconditioner
+        built by solve() (multigrid on large structured meshes).
+
+        Requires solve() to have run. Returns femx.modal.ModalResult with
+        omega (rad/s, ascending) and mass-orthonormal mode shapes in GLOBAL
+        (3*node+comp) DOF order; also stored as self.modal_result.
+        """
+        if self.u is None:
+            raise RuntimeError("Run the analysis (solve) before modal().")
+        import jax
+
+        from femx.modal import ModalResult, modal_shift_invert
+
+        op = self.operator
+        if inner_tol is None:
+            inner_tol = max(self.cg_tol, 1e-6)
+        if self._structured:
+            m_int = op.lumped_mass_diagonal(rho)
+
+            @jax.jit
+            def k_solve(b):
+                return pcg(op.apply_constrained, b, M_inv_diag=self._precond,
+                           tol=inner_tol, maxiter=500).x
+
+            res = modal_shift_invert(
+                k_solve, m_int, op.free_mask_host, n_modes=n_modes, tol=tol,
+                maxiter=maxiter, dtype=op.Kcell.dtype,
+            )
+            modes = np.stack(
+                [op.to_global(np.asarray(res.modes[:, i]))
+                 for i in range(res.modes.shape[1])], axis=1,
+            )
+            res = ModalResult(omega=res.omega, modes=jnp.asarray(modes),
+                              iterations=res.iterations)
+        else:
+            conn = np.asarray(self.tetra10_conn)
+            ml = np.asarray(tet10_el.element_mass_lumped(
+                jnp.asarray(self.points[conn]), rho))  # (E, 10)
+            m_node = np.zeros(self.num_nodes)
+            np.add.at(m_node, conn, ml)
+            m_dof = np.repeat(m_node, 3)
+            free_mask = np.asarray(op.free_mask)
+            precond = getattr(self, "_precond", None)
+            if precond is None:  # dense path never built one
+                precond = op.block_jacobi_preconditioner()
+
+            @jax.jit
+            def k_solve(b):
+                return pcg(op.apply_constrained, b, M_inv_diag=precond,
+                           tol=inner_tol, maxiter=4000).x
+
+            res = modal_shift_invert(
+                k_solve, m_dof, free_mask, n_modes=n_modes, tol=tol,
+                maxiter=maxiter, dtype=op.dN.dtype,
+            )
+        self.modal_result = res
+        self._log(
+            "   - Modal: f = "
+            + ", ".join(f"{w / (2 * np.pi):.3f}" for w in np.asarray(res.omega))
+            + " Hz"
+        )
+        return res
 
     def print_reactions(self) -> None:
         """Console reaction table + equilibrium check

@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reproduce the reference's w=1/4 Tet10 weight")
     so.add_argument("--report", default=None)
     so.add_argument("--plot", default=None, help="save result view PNG")
+    so.add_argument("--modal", type=int, default=0, metavar="N",
+                    help="also compute the first N natural frequencies "
+                         "(shift-invert Lanczos, HRZ-lumped mass)")
+    so.add_argument("--rho", type=float, default=7850.0,
+                    help="density for --modal [kg/m^3]")
 
     be = sub.add_parser("beam", help="3D Timoshenko frame analysis")
     be.add_argument("--msh", required=True)
@@ -180,6 +185,13 @@ def main(argv=None) -> int:
                                    compat=compat, solver=args.solver)
         fa.run_simulation(report=bool(args.report),
                           report_path=args.report or "FEM_Report.md")
+        if args.modal:
+            import numpy as np
+
+            res = fa.modal(n_modes=args.modal, rho=args.rho)
+            hz = np.asarray(res.omega) / (2 * np.pi)
+            print("Natural frequencies [Hz]: "
+                  + ", ".join(f"{f:.4f}" for f in hz))
         if args.plot:
             fa.plot(show_window=False, filename=args.plot)
             print(f"Saved result view to {args.plot}")

@@ -244,3 +244,63 @@ class TestShiftInvertModal:
         om = np.asarray(res_tight.omega)
         omega = np.sort(om[om > 0])
         np.testing.assert_allclose(omega[:2], np.sqrt(lam_d[:2]), rtol=0.08)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline integration: SolidReactionAnalysis.modal
+# ---------------------------------------------------------------------------
+class TestPipelineModal:
+    def test_structured_vs_unstructured_pipeline(self, tmp_path):
+        """The same physical box must give the same frequencies through the
+        structured (lattice operator) and unstructured (gather operator)
+        pipelines — the meshes are identical, only the operator layout
+        differs."""
+        from femx.analysis import SolidReactionAnalysis
+        from femx.mesh import write_msh
+
+        dims = (0.2, 0.2, 0.4)
+        mesh = box_tet10(*dims, mesh_size=0.05,
+                         fix_points=[(0, 0, 0), (0.2, 0, 0), (0, 0, 0.4),
+                                     (0.2, 0, 0.4)])
+        fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+                  "fix_x": 0, "fix_y": 0, "fix_z": 0}
+                 for x, z in [(0, 0), (0.2, 0), (0, 0.4), (0.2, 0.4)]]
+        forces = []
+
+        fa_s = SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                                     verbose=False)
+        fa_s.f = np.zeros(3 * fa_s.num_nodes)  # no loads: statics is zero
+        fa_s.assemble_stiffness_matrix()
+        fa_s.apply_boundary_conditions()
+        fa_s.solve()
+        assert fa_s._structured
+        m_s = fa_s.modal(n_modes=5, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+
+        # strip the structured metadata via a file round-trip
+        p = str(tmp_path / "box.msh")
+        write_msh(p, mesh)
+        fa_u = SolidReactionAnalysis(p, forces, fixes, E=2e11, v=0.3,
+                                     verbose=False, solver="cg")
+        fa_u.assemble_stiffness_matrix()
+        fa_u.apply_boundary_conditions()
+        fa_u.solve()
+        assert not fa_u._structured
+        m_u = fa_u.modal(n_modes=5, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+
+        np.testing.assert_allclose(
+            np.asarray(m_s.omega), np.asarray(m_u.omega), rtol=1e-5
+        )
+        # modes are in global DOF order in both pipelines: compare the
+        # fundamental up to sign
+        v_s = np.asarray(m_s.modes[:, 0])
+        v_u = np.asarray(m_u.modes[:, 0])
+        sign = np.sign(v_s @ v_u)
+        np.testing.assert_allclose(v_s, sign * v_u, atol=2e-4 * np.abs(v_s).max())
+
+    def test_modal_requires_solve(self):
+        from femx.analysis import SolidReactionAnalysis
+
+        mesh = box_tet10(0.2, 0.2, 0.2, mesh_size=0.1)
+        fa = SolidReactionAnalysis(mesh, [], [], E=2e11, v=0.3, verbose=False)
+        with pytest.raises(RuntimeError, match="solve"):
+            fa.modal()
