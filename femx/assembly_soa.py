@@ -1,9 +1,14 @@
-"""SoA (element-last) matrix-free solid operator — the TPU production path.
+"""SoA (element-last) matrix-free solid operator.
 
 Same interface as femx.assembly.SolidOperator (apply / apply_constrained /
 diagonal / block_jacobi_preconditioner) but all hot arrays are element-last:
 dNg (4,3,10,E), wdet (4,E), DOF table (30,E). See femx.elements.tet10_soa
 for the layout rationale (~1000x faster than the einsum layout on TPU).
+
+The production unstructured path is femx.assembly_tg.SolidOperatorTG, which
+wraps this operator's element kernel but replaces the scalar gather +
+scatter-add (73 + 86 ms @ 1.39M DOF on v5e) with row gathers and a
+scatter-free degree-bucketed transpose gather (39 ms total per apply).
 """
 
 from __future__ import annotations
@@ -57,6 +62,18 @@ class SolidOperatorSoA:
     def with_free_mask(self, free_mask) -> "SolidOperatorSoA":
         return dataclasses.replace(
             self, free_mask=jnp.asarray(free_mask, dtype=self.dNg.dtype)
+        )
+
+    def astype(self, dtype) -> "SolidOperatorSoA":
+        """Same operator with geometry factors cast (for the f64 residual
+        operator of mixed-precision iterative refinement)."""
+        dt = jnp.dtype(dtype)
+        return dataclasses.replace(
+            self,
+            dNg=self.dNg.astype(dt),
+            wdet=self.wdet.astype(dt),
+            C6=np.asarray(self.C6, dtype=dt),
+            free_mask=None if self.free_mask is None else self.free_mask.astype(dt),
         )
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:

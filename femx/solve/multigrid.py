@@ -272,12 +272,21 @@ class StructuredMultigrid:
         Kp = K[np.ix_(perm, perm)]
         m = cop.free_mask_host.astype(np.float64)
         Kp = Kp * m[:, None] * m[None, :] + np.diag(1.0 - m)
-        L = np.linalg.cholesky(Kp)
-        self._chol = jnp.asarray(L.astype(dtype))
+        np.linalg.cholesky(Kp)  # definiteness check (raises on indefinite)
+        # Explicit symmetric inverse instead of two triangular solves: a TPU
+        # triangular solve serializes row-by-row (measured ~2-4 ms at 3.7k
+        # DOF — comparable to the whole rest of the V-cycle), while the
+        # inverse is one MXU matvec. Inverted in f64 on host, symmetrized,
+        # cast; as the coarsest-level correction of a PRECONDITIONER the
+        # inverse's extra rounding is inert, and symmetry (which CG does
+        # need) is exact by construction.
+        Kinv = np.linalg.inv(Kp)
+        Kinv = 0.5 * (Kinv + Kinv.T)
+        self._coarse_inv = jnp.asarray(Kinv.astype(dtype))
 
     def _coarse_solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        y = jax.scipy.linalg.solve_triangular(self._chol, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(self._chol.T, y, lower=False)
+        return jax.lax.dot(self._coarse_inv, b,
+                           precision=jax.lax.Precision.HIGHEST)
 
     def _smooth(self, k: int, x, b, sweeps: int):
         lvl = self.levels[k]
