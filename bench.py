@@ -68,10 +68,17 @@ def main():
 
     tol = 1e-5 if dtype == np.float32 else 1e-8
 
+    # mg/op enter the jitted solves as PYTREE ARGUMENTS — closing over them
+    # embeds ~100 MB of preconditioner arrays as compiled-program constants,
+    # which dominate the remote-compile payload/time.
     @jax.jit
-    def solve(fv):
-        res = pcg(op.apply_constrained, fv, M_inv_diag=mg, tol=tol, maxiter=200)
+    def solve_args(fv, mg_):
+        res = pcg(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+                  tol=tol, maxiter=200)
         return res.x, res.iterations, res.residual_norm
+
+    def solve(fv):
+        return solve_args(fv, mg)
 
     # Refined variant: f32 inner solves + f64 residual evaluation (the
     # f32-on-TPU answer to the reference's f64 SuperLU; BASELINE.json asks
@@ -82,11 +89,14 @@ def main():
     f64j = jnp.asarray(op.to_internal(f * mask), dtype=np.float64)
 
     @jax.jit
-    def solve_refined(fv, fv64):
-        res = pcg_refined(op.apply_constrained, fv, M_inv_diag=mg, tol=tol,
-                          maxiter=200, refine_steps=2,
-                          A_residual=op64.apply_constrained, b_residual=fv64)
+    def solve_refined_args(fv, fv64, mg_, op64_):
+        res = pcg_refined(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+                          tol=tol, maxiter=200, refine_steps=2,
+                          A_residual=op64_.apply_constrained, b_residual=fv64)
         return res.x, res.iterations, res.residual_norm
+
+    def solve_refined(fv, fv64):
+        return solve_refined_args(fv, fv64, mg, op64)
 
     t0 = time.perf_counter()
     u, it, rn = solve(fj)
@@ -132,10 +142,19 @@ def main():
         inner_tol=tol, inner_maxiter=200, tol=1e-4, maxiter=60,
     )
     jax.block_until_ready(mres.modes)
+    t_modal_cold = time.perf_counter() - t0
+    # steady-state: the Lanczos step functions are compiled now
+    t0 = time.perf_counter()
+    mres = solid_modal_structured(
+        op, mg, rho=7850.0, n_modes=10,
+        inner_tol=tol, inner_maxiter=200, tol=1e-4, maxiter=60,
+    )
+    jax.block_until_ready(mres.modes)
     t_modal = time.perf_counter() - t0
     f_hz = np.asarray(mres.omega) / (2 * np.pi)
     log(f"modal first-10 (shift-invert Lanczos, {mres.iterations} inner "
-        f"MG-PCG solves): {t_modal:.2f}s; f = {np.round(f_hz, 2).tolist()} Hz")
+        f"MG-PCG solves): {t_modal:.2f}s steady / {t_modal_cold:.2f}s with "
+        f"compile; f = {np.round(f_hz, 2).tolist()} Hz")
 
     target = 2.0  # BASELINE.json north star: < 2 s at 1M DOF
     print(json.dumps({
@@ -150,6 +169,7 @@ def main():
         "refined_solve_s": round(t_refined, 4),
         "refined_residual": float(rnr),
         "modal10_s": round(t_modal, 2),
+        "modal10_compile_s": round(t_modal_cold, 2),
         "modal10_inner_solves": int(mres.iterations),
         "modal_f1_hz": round(float(f_hz[0]), 4),
     }))

@@ -204,6 +204,14 @@ class SolidReactionAnalysis:
                 minv = op.block_jacobi_preconditioner()
                 method = "structured_block_jacobi_pcg"
             self._precond = minv
+            import jax
+
+            from femx.solve.multigrid import StructuredMultigrid
+
+            # The MG preconditioner enters jit as a pytree ARGUMENT (its
+            # ~100 MB of arrays as closed-over constants dominate the
+            # remote-compile payload on TPU; see StructuredMultigrid).
+            mg_arg = minv if isinstance(minv, StructuredMultigrid) else None
             if np.dtype(dtype) == np.float32:
                 # f32 inner solves + f64 outer iterative refinement: the
                 # TPU configuration. A pure-f32 solve cannot push the TRUE
@@ -213,10 +221,24 @@ class SolidReactionAnalysis:
 
                 op64 = op.astype(np.float64)
                 f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
-                res = pcg_refined(op.apply_constrained, f_int, M_inv_diag=minv,
-                                  tol=self.cg_tol, A_residual=op64.apply_constrained,
-                                  b_residual=f64_int)
+                if mg_arg is not None:
+                    res = jax.jit(
+                        lambda fv, fv64, mg_, op64_: pcg_refined(
+                            mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+                            tol=self.cg_tol,
+                            A_residual=op64_.apply_constrained, b_residual=fv64,
+                        )
+                    )(f_int, f64_int, mg_arg, op64)
+                else:
+                    res = pcg_refined(op.apply_constrained, f_int, M_inv_diag=minv,
+                                      tol=self.cg_tol, A_residual=op64.apply_constrained,
+                                      b_residual=f64_int)
                 method += "_refined"
+            elif mg_arg is not None:
+                res = jax.jit(
+                    lambda fv, mg_: pcg(mg_.fine_op.apply_constrained, fv,
+                                        M_inv_diag=mg_, tol=self.cg_tol)
+                )(f_int, mg_arg)
             else:
                 res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
             u_int = res.x
@@ -242,7 +264,25 @@ class SolidReactionAnalysis:
             op = op.with_free_mask(jnp.asarray(op.to_internal(mask_g), dtype=dtype))
             self.operator = op
             f_int = jnp.asarray(op.to_internal(self.f * mask_g), dtype=dtype)
-            minv = op.block_jacobi_preconditioner()
+            bj = op.block_jacobi_preconditioner()
+            minv = bj
+            method_prefix = "tg_block_jacobi"
+            if ndof > self.MG_DOF_THRESHOLD:
+                # auxiliary structured-lattice MG coarse correction: cuts
+                # block-Jacobi's O(1000) iterations ~15x (measured; see
+                # femx.solve.lattice_precond)
+                from femx.solve.lattice_precond import LatticePreconditioner
+
+                try:
+                    minv = LatticePreconditioner(
+                        self.points, self.tetra10_conn, self.E, self.v,
+                        mask_g, bj, dtype=np.dtype(dtype).type,
+                        node_perm=op.new_of_old,
+                    )
+                    method_prefix = "tg_lattice_mg"
+                except ValueError as e:
+                    self._log(f"   - Lattice preconditioner unavailable ({e}); "
+                              "using block-Jacobi.")
             self._precond = minv
             if np.dtype(dtype) == np.float32:
                 from femx.solve.cg import pcg_refined
@@ -252,10 +292,10 @@ class SolidReactionAnalysis:
                 res = pcg_refined(op.apply_constrained, f_int, M_inv_diag=minv,
                                   tol=self.cg_tol, A_residual=op64.apply_constrained,
                                   b_residual=f64_int)
-                method = "tg_block_jacobi_pcg_refined"
+                method = method_prefix + "_pcg_refined"
             else:
                 res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
-                method = "tg_block_jacobi_pcg"
+                method = method_prefix + "_pcg"
             self.solve_info = {
                 "method": method,
                 "iterations": int(res.iterations),
@@ -358,15 +398,28 @@ class SolidReactionAnalysis:
         if inner_tol is None:
             inner_tol = max(self.cg_tol, 1e-6)
         if self._structured:
+            from femx.solve.multigrid import StructuredMultigrid
+
             m_int = op.lumped_mass_diagonal(rho)
 
-            @jax.jit
-            def k_solve(b):
-                # maxiter is a bound, not a cost: the while_loop exits on
-                # convergence (MG needs ~20; block-Jacobi fallback needs
-                # thousands at tight tolerances)
-                return pcg(op.apply_constrained, b, M_inv_diag=self._precond,
-                           tol=inner_tol, maxiter=4000).x
+            # maxiter is a bound, not a cost: the while_loop exits on
+            # convergence (MG needs ~20; block-Jacobi fallback needs
+            # thousands at tight tolerances)
+            if isinstance(self._precond, StructuredMultigrid):
+                _ks = jax.jit(
+                    lambda b, mg_: pcg(mg_.fine_op.apply_constrained, b,
+                                       M_inv_diag=mg_, tol=inner_tol,
+                                       maxiter=4000).x
+                )
+
+                def k_solve(b):
+                    return _ks(b, self._precond)
+            else:
+                @jax.jit
+                def k_solve(b):
+                    return pcg(op.apply_constrained, b,
+                               M_inv_diag=self._precond,
+                               tol=inner_tol, maxiter=4000).x
 
             res = modal_shift_invert(
                 k_solve, m_int, op.free_mask_host, n_modes=n_modes, tol=tol,

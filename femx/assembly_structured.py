@@ -96,6 +96,12 @@ class StructuredSolidOperator:
     `to_internal`/`to_global` (host-side, once per solve) to convert
     between mesh node order (lattice raster, femx.mesh.box_tet10) and the
     internal layout.
+
+    Registered as a JAX PYTREE (leaves: Kcell, free_mask) so jitted solves
+    can take the operator as an argument — closed-over copies become
+    compiled-program constants that are re-serialized with every remote
+    compile. Host-side caches (_Kcell_host, _perm, ...) do not survive
+    flatten/unflatten; they belong to setup-stage code only.
     """
 
     Kcell: jnp.ndarray  # (81, 81)
@@ -427,8 +433,13 @@ class StructuredSolidOperator:
         parts = [np.broadcast_to(g, (3,) + g.shape).reshape(-1) for g in grids]
         return np.concatenate(parts)
 
-    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
-        """r -> M^-1 r; internal layout, phase-wise contiguous math."""
+    def block_jacobi_tensors(self) -> List[np.ndarray]:
+        """Per-phase (3, 3, cnt) inverse nodal blocks (host numpy, once).
+
+        Data for `apply_block_jacobi` — kept separate so callers can thread
+        the tensors through jit as ARGUMENTS (a closed-over copy becomes a
+        compiled-program constant that is serialized with every remote
+        compile; ~16 MB at 1.4M DOF)."""
         bd = self.block_diagonal_internal()  # (n_nodes, 3, 3) host
         shapes = self._phase_shapes()
         offs = self._phase_offsets()
@@ -444,30 +455,63 @@ class StructuredSolidOperator:
             blk += (1.0 - m)[:, :, None] * np.eye(3, dtype=bd.dtype)
             node_pos += cnt
         binv = np.linalg.inv(masked)  # (n_nodes, 3, 3), host, once
-
-        # per-phase (3, 3, cnt) inverse tensors for contiguous application
-        binv_phases = []
+        out = []
         node_pos = 0
         for s in shapes:
             cnt = s[0] * s[1] * s[2]
-            binv_phases.append(jnp.asarray(np.transpose(binv[node_pos : node_pos + cnt], (1, 2, 0))))
+            out.append(np.ascontiguousarray(
+                np.transpose(binv[node_pos : node_pos + cnt], (1, 2, 0))
+            ))
             node_pos += cnt
+        return out
 
-        shapes_j = shapes
-        offs_j = offs
+    def apply_block_jacobi(self, binv_phases, r):
+        """r -> M^-1 r given `block_jacobi_tensors` output (jit-friendly)."""
+        shapes = self._phase_shapes()
+        offs = self._phase_offsets()
+        outs = []
+        for i in range(8):
+            cnt = shapes[i][0] * shapes[i][1] * shapes[i][2]
+            rp = r[offs[i] : offs[i + 1]].reshape(3, cnt)
+            B = binv_phases[i]
+            z = jnp.stack([
+                B[0, 0] * rp[0] + B[0, 1] * rp[1] + B[0, 2] * rp[2],
+                B[1, 0] * rp[0] + B[1, 1] * rp[1] + B[1, 2] * rp[2],
+                B[2, 0] * rp[0] + B[2, 1] * rp[1] + B[2, 2] * rp[2],
+            ])
+            outs.append(z.reshape(-1))
+        return jnp.concatenate(outs)
 
-        def apply_minv(r):
-            outs = []
-            for i in range(8):
-                cnt = shapes_j[i][0] * shapes_j[i][1] * shapes_j[i][2]
-                rp = r[offs_j[i] : offs_j[i + 1]].reshape(3, cnt)
-                B = binv_phases[i]
-                z = jnp.stack([
-                    B[0, 0] * rp[0] + B[0, 1] * rp[1] + B[0, 2] * rp[2],
-                    B[1, 0] * rp[0] + B[1, 1] * rp[1] + B[1, 2] * rp[2],
-                    B[2, 0] * rp[0] + B[2, 1] * rp[1] + B[2, 2] * rp[2],
-                ])
-                outs.append(z.reshape(-1))
-            return jnp.concatenate(outs)
+    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """r -> M^-1 r; internal layout, phase-wise contiguous math.
 
-        return apply_minv
+        Closure form (tensors embedded as jit constants) — convenient for
+        small problems; large jitted solves should pass
+        `block_jacobi_tensors()` as arguments and call `apply_block_jacobi`.
+        """
+        binv_phases = [jnp.asarray(b) for b in self.block_jacobi_tensors()]
+        return lambda r: self.apply_block_jacobi(binv_phases, r)
+
+
+def _structured_op_flatten(op: StructuredSolidOperator):
+    children = (op.Kcell, op.free_mask)
+    aux = (op.n_cells, op.grid_shape, op.weight, op.spacing)
+    return children, aux
+
+
+def _structured_op_unflatten(aux, children):
+    Kcell, free_mask = children
+    n_cells, grid_shape, weight, spacing = aux
+    op = object.__new__(StructuredSolidOperator)
+    object.__setattr__(op, "Kcell", Kcell)
+    object.__setattr__(op, "free_mask", free_mask)
+    object.__setattr__(op, "n_cells", n_cells)
+    object.__setattr__(op, "grid_shape", grid_shape)
+    object.__setattr__(op, "weight", weight)
+    object.__setattr__(op, "spacing", spacing)
+    return op
+
+
+jax.tree_util.register_pytree_node(
+    StructuredSolidOperator, _structured_op_flatten, _structured_op_unflatten
+)

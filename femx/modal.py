@@ -305,15 +305,27 @@ def solid_modal_structured(
     INTERNAL DOF layout; use op.to_global on the returned modes.
     """
     from femx.solve.cg import pcg
+    from femx.solve.multigrid import StructuredMultigrid
 
     m_diag = op.lumped_mass_diagonal(rho)
 
-    @jax.jit
-    def k_solve(b):
-        return pcg(
-            op.apply_constrained, b, M_inv_diag=preconditioner,
-            tol=inner_tol, maxiter=inner_maxiter,
-        ).x
+    if isinstance(preconditioner, StructuredMultigrid):
+        # pytree-argument form: keeps the MG arrays out of the compiled
+        # program's constants (see StructuredMultigrid docstring)
+        @jax.jit
+        def _ks(b, op_, mg_):
+            return pcg(op_.apply_constrained, b, M_inv_diag=mg_,
+                       tol=inner_tol, maxiter=inner_maxiter).x
+
+        def k_solve(b):
+            return _ks(b, op, preconditioner)
+    else:
+        @jax.jit
+        def k_solve(b):
+            return pcg(
+                op.apply_constrained, b, M_inv_diag=preconditioner,
+                tol=inner_tol, maxiter=inner_maxiter,
+            ).x
 
     return modal_shift_invert(
         k_solve, m_diag, op.free_mask_host, n_modes=n_modes, tol=tol,

@@ -142,11 +142,26 @@ def restrict(G_fine: jnp.ndarray, axes=(1, 2, 3)) -> jnp.ndarray:
 @dataclasses.dataclass
 class _Level:
     op: StructuredSolidOperator
-    minv: Callable  # block-Jacobi inverse (constrained)
+    binv: List  # per-phase (3, 3, cnt) block-Jacobi inverse tensors
+
+    def minv(self, r):
+        return self.op.apply_block_jacobi(self.binv, r)
 
 
 class StructuredMultigrid:
     """Symmetric V-cycle preconditioner M^-1 for CG on the structured mesh.
+
+    Registered as a JAX PYTREE (leaves: every level's Kcell/free_mask/
+    block-Jacobi tensors + the coarsest inverse) so jitted solves can take
+    the whole preconditioner as an ARGUMENT:
+
+        @jax.jit
+        def solve(fv, mg):
+            return pcg(mg.fine_op.apply_constrained, fv, M_inv_diag=mg, ...)
+
+    Closing over `mg` instead works but embeds ~100 MB of arrays as
+    compiled-program constants (measured: the remote-compile payload/time
+    at 1.39M DOF is dominated by them).
 
     Args:
       dims: (X, Y, Z) box dimensions.
@@ -244,7 +259,8 @@ class StructuredMultigrid:
             prev_op = op
             m_int = op.to_internal(mgrid.reshape(-1))
             op = op.with_free_mask(m_int)  # numpy in: host mirror cached
-            self.levels.append(_Level(op=op, minv=op.block_jacobi_preconditioner()))
+            binv = [jnp.asarray(b.astype(dtype)) for b in op.block_jacobi_tensors()]
+            self.levels.append(_Level(op=op, binv=binv))
 
         # Smoother damping. omega=0.7 is stable and tuned for the uniform
         # isotropic hierarchy, but damped block-Jacobi DIVERGES on the
@@ -345,3 +361,36 @@ def _dense_structured_K(mesh, E, nu, weight) -> np.ndarray:
         op, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C, weight=weight)
         K = assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 3 * mesh.num_nodes)
         return np.asarray(K)
+
+
+def _level_flatten(l: _Level):
+    return (l.op, l.binv), ()
+
+
+def _level_unflatten(_aux, children):
+    op, binv = children
+    lvl = object.__new__(_Level)
+    lvl.op = op
+    lvl.binv = binv
+    return lvl
+
+
+jax.tree_util.register_pytree_node(_Level, _level_flatten, _level_unflatten)
+
+
+def _mg_flatten(mg: StructuredMultigrid):
+    children = (mg.levels, mg._coarse_inv)
+    aux = (mg.n_smooth, mg.omega, tuple(mg.omegas), tuple(mg._coarsen_axes))
+    return children, aux
+
+
+def _mg_unflatten(aux, children):
+    out = object.__new__(StructuredMultigrid)
+    out.levels, out._coarse_inv = children
+    out.n_smooth, out.omega, omegas, coarsen = aux
+    out.omegas = list(omegas)
+    out._coarsen_axes = list(coarsen)
+    return out
+
+
+jax.tree_util.register_pytree_node(StructuredMultigrid, _mg_flatten, _mg_unflatten)

@@ -1,0 +1,74 @@
+"""Structured-lattice MG preconditioner for unstructured meshes: exact
+transfer adjointness, M^-1 symmetry, iteration reduction, and solution
+invariance vs plain block-Jacobi PCG."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from femx.assembly_tg import SolidOperatorTG
+from femx.mesh import box_tet10
+from femx.solve.cg import pcg
+from femx.solve.lattice_precond import LatticePreconditioner
+
+
+def _problem(mesh_size=0.025, dims=(0.1, 0.1, 0.4)):
+    mesh = box_tet10(*dims, mesh_size=mesh_size)
+    conn = np.asarray(mesh.cells["tetra10"])
+    pts = np.asarray(mesh.points)
+    rng = np.random.default_rng(0)
+    relabel = rng.permutation(len(pts))
+    pts_s = np.empty_like(pts)
+    pts_s[relabel] = pts
+    conn_s = relabel[conn]
+
+    op, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3, dtype=np.float64)
+    mask = np.ones(op.ndof)
+    for n in np.where(pts_s[:, 2] < 1e-9)[0]:
+        mask[3 * n : 3 * n + 3] = 0
+    op = op.with_free_mask(jnp.asarray(op.to_internal(mask)))
+    f = np.zeros(op.ndof)
+    tips = np.where(pts_s[:, 2] > dims[2] - 1e-9)[0]
+    f[3 * tips + 1] = -1000.0 / len(tips)
+    return pts_s, conn_s, op, mask, jnp.asarray(op.to_internal(f * mask))
+
+
+def test_transfer_adjoint_and_symmetry():
+    pts, conn, op, mask, f_int = _problem()
+    bj = op.block_jacobi_preconditioner()
+    lp = LatticePreconditioner(pts, conn, 2e11, 0.3, mask, bj,
+                               dtype=np.float64, node_perm=op.new_of_old)
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal(op.ndof))
+    e = jnp.asarray(rng.standard_normal(3 * int(np.prod(lp.mg.fine_op.grid_shape))))
+    lhs = float(jnp.vdot(lp.transfer.restrict(r), e))
+    rhs = float(jnp.vdot(r, lp.transfer.interpolate(e, op.n_nodes)))
+    assert abs(lhs - rhs) < 1e-10 * abs(rhs)
+
+    m_int = jnp.asarray(op.to_internal(mask))
+    a = jnp.asarray(rng.standard_normal(op.ndof)) * m_int
+    b = jnp.asarray(rng.standard_normal(op.ndof)) * m_int
+    s1 = float(jnp.vdot(lp(a), b))
+    s2 = float(jnp.vdot(a, lp(b)))
+    assert abs(s1 - s2) < 1e-12 * abs(s1)
+    # positive definiteness probe
+    assert float(jnp.vdot(a, lp(a))) > 0
+
+
+def test_iteration_reduction_and_solution():
+    pts, conn, op, mask, f_int = _problem()
+    bj = op.block_jacobi_preconditioner()
+    res_bj = pcg(op.apply_constrained, f_int, M_inv_diag=bj, tol=1e-9,
+                 maxiter=20000)
+    assert bool(res_bj.converged)
+
+    lp = LatticePreconditioner(pts, conn, 2e11, 0.3, mask, bj,
+                               dtype=np.float64, node_perm=op.new_of_old)
+    res_lp = pcg(op.apply_constrained, f_int, M_inv_diag=lp, tol=1e-9,
+                 maxiter=20000)
+    assert bool(res_lp.converged)
+    # measured on this case: ~500 -> ~60; assert a conservative 4x
+    assert int(res_lp.iterations) * 4 < int(res_bj.iterations), (
+        int(res_lp.iterations), int(res_bj.iterations))
+    err = float(jnp.max(jnp.abs(res_lp.x - res_bj.x)) /
+                jnp.max(jnp.abs(res_bj.x)))
+    assert err < 1e-8
