@@ -264,8 +264,15 @@ class SolidReactionAnalysis:
             op = op.with_free_mask(jnp.asarray(op.to_internal(mask_g), dtype=dtype))
             self.operator = op
             f_int = jnp.asarray(op.to_internal(self.f * mask_g), dtype=dtype)
-            bj = op.block_jacobi_preconditioner()
-            minv = bj
+            # Block-Jacobi as (capture-free fn, pytree data) so everything
+            # below can enter jit as ARGUMENTS (closures embed the operator/
+            # preconditioner arrays as compiled constants — at 1M+ DOF that
+            # exceeds the remote-compile payload limit outright).
+            import jax
+
+            bj_data = op.soa.block_jacobi_tensors()
+            bj_fn = type(op.soa).apply_block_jacobi
+            minv = None
             method_prefix = "tg_block_jacobi"
             if ndof > self.MG_DOF_THRESHOLD:
                 # auxiliary structured-lattice MG coarse correction: cuts
@@ -276,25 +283,56 @@ class SolidReactionAnalysis:
                 try:
                     minv = LatticePreconditioner(
                         self.points, self.tetra10_conn, self.E, self.v,
-                        mask_g, bj, dtype=np.dtype(dtype).type,
-                        node_perm=op.new_of_old,
+                        mask_g, dtype=np.dtype(dtype).type,
+                        node_perm=op.new_of_old, bj_fn=bj_fn, bj_data=bj_data,
                     )
                     method_prefix = "tg_lattice_mg"
                 except ValueError as e:
                     self._log(f"   - Lattice preconditioner unavailable ({e}); "
                               "using block-Jacobi.")
-            self._precond = minv
-            if np.dtype(dtype) == np.float32:
-                from femx.solve.cg import pcg_refined
+            self._precond = minv if minv is not None else ("bj", bj_data)
+            if minv is not None:
+                def run_pcg(A_fn, fv, tol):
+                    return jax.jit(
+                        lambda fv_, op_, lp_: pcg(
+                            getattr(op_, A_fn), fv_, M_inv_diag=lp_, tol=tol)
+                    )(fv, op, minv)
+            else:
+                def run_pcg(A_fn, fv, tol):
+                    return jax.jit(
+                        lambda fv_, op_, t: pcg(
+                            getattr(op_, A_fn), fv_,
+                            M_inv_diag=lambda r: op_.soa.apply_block_jacobi(t, r),
+                            tol=tol)
+                    )(fv, op, bj_data)
 
+            if np.dtype(dtype) == np.float32:
+                from femx.solve.cg import CGResult
+
+                # mixed precision: f32 inner solves as above + f64 outer
+                # refinement (host loop; residuals through the f64 operator)
                 op64 = op.astype(np.float64)
                 f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
-                res = pcg_refined(op.apply_constrained, f_int, M_inv_diag=minv,
-                                  tol=self.cg_tol, A_residual=op64.apply_constrained,
-                                  b_residual=f64_int)
+                inner = run_pcg("apply_constrained", f_int, self.cg_tol)
+                x_h = jnp.asarray(inner.x, dtype=jnp.float64)
+                total_it = inner.iterations
+                res_apply64 = jax.jit(lambda v, o: o.apply_constrained(v))
+                for _ in range(2):
+                    r_h = f64_int - res_apply64(x_h, op64)
+                    corr = run_pcg("apply_constrained",
+                                   jnp.asarray(r_h, dtype=jnp.float32),
+                                   self.cg_tol)
+                    x_h = x_h + jnp.asarray(corr.x, dtype=jnp.float64)
+                    total_it = total_it + corr.iterations
+                r_h = f64_int - res_apply64(x_h, op64)
+                bn = float(jnp.linalg.norm(f64_int))
+                rn = float(jnp.linalg.norm(r_h)) / (bn if bn > 0 else 1.0)
+                res = CGResult(x=x_h, iterations=total_it,
+                               residual_norm=jnp.asarray(rn),
+                               converged=jnp.asarray(rn <= self.cg_tol))
                 method = method_prefix + "_pcg_refined"
             else:
-                res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
+                res = run_pcg("apply_constrained", f_int, self.cg_tol)
                 method = method_prefix + "_pcg"
             self.solve_info = {
                 "method": method,
@@ -449,13 +487,35 @@ class SolidReactionAnalysis:
                 dtype = op.dN.dtype
             free_mask = np.asarray(op.free_mask)
             precond = getattr(self, "_precond", None)
-            if precond is None:  # dense path never built one
-                precond = op.block_jacobi_preconditioner()
+            from femx.solve.lattice_precond import LatticePreconditioner
 
-            @jax.jit
-            def k_solve(b):
-                return pcg(op.apply_constrained, b, M_inv_diag=precond,
-                           tol=inner_tol, maxiter=4000).x
+            if is_tg and isinstance(precond, LatticePreconditioner):
+                _ks = jax.jit(
+                    lambda b, op_, lp_: pcg(op_.apply_constrained, b,
+                                            M_inv_diag=lp_, tol=inner_tol,
+                                            maxiter=4000).x)
+
+                def k_solve(b):
+                    return _ks(b, op, precond)
+            elif is_tg:
+                bj_data = (precond[1] if isinstance(precond, tuple)
+                           else op.soa.block_jacobi_tensors())
+                _ks = jax.jit(
+                    lambda b, op_, t: pcg(
+                        op_.apply_constrained, b,
+                        M_inv_diag=lambda r: op_.soa.apply_block_jacobi(t, r),
+                        tol=inner_tol, maxiter=4000).x)
+
+                def k_solve(b):
+                    return _ks(b, op, bj_data)
+            else:
+                if precond is None:  # dense path never built one
+                    precond = op.block_jacobi_preconditioner()
+
+                @jax.jit
+                def k_solve(b):
+                    return pcg(op.apply_constrained, b, M_inv_diag=precond,
+                               tol=inner_tol, maxiter=4000).x
 
             res = modal_shift_invert(
                 k_solve, m_use, free_mask, n_modes=n_modes, tol=tol,

@@ -36,10 +36,27 @@ class SolidOperatorSoA:
 
     @classmethod
     def from_mesh(cls, points, conn, E_mod, nu, weight=GAUSS_WEIGHT_CORRECT, dtype=np.float32):
-        """Build geometry factors on device from host mesh arrays."""
+        """Build geometry factors from host mesh arrays.
+
+        On an accelerator backend the geometry kernel is evaluated on the
+        HOST CPU and the factors transferred once: the heavily-unrolled
+        kernel costs minutes of cold remote compilation on the axon-tunneled
+        TPU vs ~18 s compile+run on CPU + ~2 s of transfers (measured at
+        331k elements)."""
         conn = np.asarray(conn)
-        coords = jnp.asarray(soa.coords_soa(np.asarray(points), conn, dtype))
-        dNg, wdet, detJ = jax.jit(soa.geometry)(coords)
+        coords_np = soa.coords_soa(np.asarray(points), conn, dtype)
+        if jax.default_backend() != "cpu":
+            from femx.config import host_compute
+
+            with host_compute():
+                dNg_h, wdet_h, detJ = jax.jit(soa.geometry)(jnp.asarray(coords_np))
+                dNg_h = np.asarray(dNg_h)
+                wdet_h = np.asarray(wdet_h)
+                detJ = np.asarray(detJ)
+            dNg = jax.device_put(dNg_h)
+            wdet = jax.device_put(wdet_h)
+        else:
+            dNg, wdet, detJ = jax.jit(soa.geometry)(jnp.asarray(coords_np))
         C6 = np.asarray(material_matrix(float(E_mod), float(nu), dtype=jnp.float64))
         op = cls(
             dofs=jnp.asarray(soa.dof_table(conn)),
@@ -97,8 +114,27 @@ class SolidOperatorSoA:
             diag_e.reshape(-1)
         )
 
+    def block_jacobi_tensors(self) -> jnp.ndarray:
+        """(3, 3, N) inverse constrained nodal blocks — data for
+        `apply_block_jacobi`, pytree-friendly (pass as a jit argument; a
+        closed-over copy becomes a compiled-program constant)."""
+        return self._block_jacobi_cols()
+
+    @staticmethod
+    def apply_block_jacobi(binv_cols, r):
+        """r -> M^-1 r given `block_jacobi_tensors` output."""
+        rn = r.reshape(-1, 3)
+        z0 = binv_cols[0][0] * rn[:, 0] + binv_cols[0][1] * rn[:, 1] + binv_cols[0][2] * rn[:, 2]
+        z1 = binv_cols[1][0] * rn[:, 0] + binv_cols[1][1] * rn[:, 1] + binv_cols[1][2] * rn[:, 2]
+        z2 = binv_cols[2][0] * rn[:, 0] + binv_cols[2][1] * rn[:, 1] + binv_cols[2][2] * rn[:, 2]
+        return jnp.stack([z0, z1, z2], axis=1).reshape(-1)
+
     def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """r -> M^-1 r with M = constrained nodal 3x3 block diagonal."""
+        binv_cols = self._block_jacobi_cols()
+        return lambda r: self.apply_block_jacobi(binv_cols, r)
+
+    def _block_jacobi_cols(self) -> jnp.ndarray:
         bke = self._block_entries()  # (10, 3, 3, E)
         node_of = self.dofs[::3] // 3  # (10, E) node index per local slot
         blocks = jnp.zeros((self.n_nodes, 3, 3), dtype=bke.dtype)
@@ -130,13 +166,28 @@ class SolidOperatorSoA:
         inv[2][2] = (a[0][0] * a[1][1] - a[0][1] * a[1][0]) * inv_det
         for i in range(3):  # identity blocks for degenerate (unused) nodes
             inv[i][i] = inv[i][i] + (1.0 - valid)
-        binv_cols = jnp.stack([jnp.stack(row) for row in inv])  # (3, 3, N)
+        return jnp.stack([jnp.stack(row) for row in inv])  # (3, 3, N)
 
-        def apply_minv(r):
-            rn = r.reshape(-1, 3)
-            z0 = binv_cols[0][0] * rn[:, 0] + binv_cols[0][1] * rn[:, 1] + binv_cols[0][2] * rn[:, 2]
-            z1 = binv_cols[1][0] * rn[:, 0] + binv_cols[1][1] * rn[:, 1] + binv_cols[1][2] * rn[:, 2]
-            z2 = binv_cols[2][0] * rn[:, 0] + binv_cols[2][1] * rn[:, 1] + binv_cols[2][2] * rn[:, 2]
-            return jnp.stack([z0, z1, z2], axis=1).reshape(-1)
 
-        return apply_minv
+def _soa_flatten(op: SolidOperatorSoA):
+    children = (op.dofs, op.dNg, op.wdet, op.free_mask)
+    aux = (tuple(map(tuple, np.asarray(op.C6, dtype=np.float64))),
+           str(np.dtype(op.C6.dtype)), op.n_nodes, op.weight)
+    return children, aux
+
+
+def _soa_unflatten(aux, children):
+    dofs, dNg, wdet, free_mask = children
+    c6_rows, c6_dtype, n_nodes, weight = aux
+    op = object.__new__(SolidOperatorSoA)
+    op.dofs = dofs
+    op.dNg = dNg
+    op.wdet = wdet
+    op.free_mask = free_mask
+    op.C6 = np.array(c6_rows, dtype=np.dtype(c6_dtype))
+    op.n_nodes = n_nodes
+    op.weight = weight
+    return op
+
+
+jax.tree_util.register_pytree_node(SolidOperatorSoA, _soa_flatten, _soa_unflatten)

@@ -189,3 +189,43 @@ class SolidOperatorTG:
 
     def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
         return self.soa.block_jacobi_preconditioner()
+
+
+def _tg_flatten(op: SolidOperatorTG):
+    children = (op.soa, op.connT, tuple(op.bucket_idx), op.free_mask)
+    aux = (tuple(op.bucket_degrees), _HostArray(op.new_of_old))
+    return children, aux
+
+
+def _tg_unflatten(aux, children):
+    soa, connT, bucket_idx, free_mask = children
+    degrees, new_of_old = aux
+    op = object.__new__(SolidOperatorTG)
+    op.soa = soa
+    op.connT = connT
+    op.bucket_idx = list(bucket_idx)
+    op.free_mask = free_mask
+    op.bucket_degrees = list(degrees)
+    op.new_of_old = new_of_old.a
+    return op
+
+
+class _HostArray:
+    """Hashable wrapper so a host-only numpy array (node relabeling — used
+    exclusively by to_internal/to_global outside jit) can live in pytree
+    aux_data without becoming a traced leaf."""
+
+    __slots__ = ("a", "_key")
+
+    def __init__(self, a):
+        self.a = np.asarray(a)
+        self._key = (self.a.shape, self.a.dtype.str, hash(self.a.tobytes()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostArray) and self._key == other._key
+
+
+jax.tree_util.register_pytree_node(SolidOperatorTG, _tg_flatten, _tg_unflatten)

@@ -170,8 +170,11 @@ class LatticePreconditioner:
         z = lp(r)      # r, z in the UNSTRUCTURED operator's dof layout
                        # (pass a node-order converter for TG's internal order)
 
-    Registered-as-pytree components (the MG) enter jitted solves as
-    arguments via `lp.state()` + `LatticePreconditioner.apply_state`.
+    Registered as a JAX PYTREE: the MG hierarchy, transfer arrays, masks,
+    and block-Jacobi data are all leaves, so jitted solves can take the
+    preconditioner as an ARGUMENT (closing over it embeds O(100 MB) of
+    constants in the compiled program — the remote-compile payload limit
+    rejects that outright at 1M DOF, HTTP 413).
     """
 
     def __init__(
@@ -181,16 +184,22 @@ class LatticePreconditioner:
         E: float,
         nu: float,
         free_mask_global: np.ndarray,
-        block_jacobi_apply,
+        block_jacobi_apply=None,
         cells_per_axis: Optional[Tuple[int, int, int]] = None,
         dtype=np.float64,
         coarse_weight: float = 1.0,
         node_perm: Optional[np.ndarray] = None,
+        bj_fn=None,
+        bj_data=None,
     ):
         """
         Args:
           free_mask_global: (3N,) 1/0 in MESH node order.
-          block_jacobi_apply: r -> D^-1 r in the CALLER's dof layout.
+          block_jacobi_apply: r -> D^-1 r closure in the CALLER's dof layout
+            (convenience form; its captured arrays become jit constants).
+            For jit-as-argument use, pass `bj_fn` (a capture-free function
+            (bj_data, r) -> z, e.g. SolidOperatorSoA.apply_block_jacobi)
+            plus `bj_data` (a pytree of arrays) instead.
           node_perm: new_of_old mesh-node relabeling if the caller's vectors
             are in a permuted node order (e.g. SolidOperatorTG internal);
             identity if None.
@@ -198,7 +207,13 @@ class LatticePreconditioner:
         pts = np.asarray(points, dtype=np.float64)
         conn = np.asarray(conn)
         self.n_nodes = len(pts)
-        self.bj = block_jacobi_apply
+        if bj_fn is None:
+            if block_jacobi_apply is None:
+                raise ValueError("provide block_jacobi_apply or (bj_fn, bj_data)")
+            bj_fn = _call_closure
+            bj_data = _Closure(block_jacobi_apply)
+        self.bj_fn = bj_fn
+        self.bj_data = bj_data
         self.coarse_weight = float(coarse_weight)
 
         lo = pts.min(axis=0)
@@ -275,4 +290,58 @@ class LatticePreconditioner:
         return self.transfer.interpolate(el, self.n_nodes) * self._mask_cal
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        return self.bj(r) + self.coarse_weight * self.coarse_correct(r)
+        return self.bj_fn(self.bj_data, r) + self.coarse_weight * self.coarse_correct(r)
+
+
+class _Closure:
+    """Opaque pytree-leaf-free wrapper for a legacy preconditioner closure
+    (kept OUT of the leaves; its captures become jit constants)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __hash__(self):
+        return id(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, _Closure) and other.fn is self.fn
+
+
+def _call_closure(data: _Closure, r):
+    return data.fn(r)
+
+
+def _lp_flatten(lp: LatticePreconditioner):
+    legacy = isinstance(lp.bj_data, _Closure)
+    children = (lp.mg, lp.transfer, lp._mask_cal, lp._lat_mask,
+                None if legacy else lp.bj_data)
+    aux = (lp.bj_fn, lp.bj_data if legacy else None, lp.coarse_weight,
+           lp.n_nodes, lp.n_cells, lp.spacing)
+    return children, aux
+
+
+def _lp_unflatten(aux, children):
+    out = object.__new__(LatticePreconditioner)
+    (out.mg, out.transfer, out._mask_cal, out._lat_mask, bj_data) = children
+    (out.bj_fn, legacy_data, out.coarse_weight, out.n_nodes, out.n_cells,
+     out.spacing) = aux
+    out.bj_data = legacy_data if legacy_data is not None else bj_data
+    return out
+
+
+def _transfer_flatten(t: LatticeTransfer):
+    return (t.idx, t.w, tuple(t.idxT), tuple(t.wT)), (t.phase_counts,)
+
+
+def _transfer_unflatten(aux, children):
+    idx, w, idxT, wT = children
+    return LatticeTransfer(idx=idx, w=w, idxT=list(idxT), wT=list(wT),
+                           phase_counts=aux[0])
+
+
+jax.tree_util.register_pytree_node(
+    LatticeTransfer, _transfer_flatten, _transfer_unflatten
+)
+jax.tree_util.register_pytree_node(
+    LatticePreconditioner, _lp_flatten, _lp_unflatten
+)
