@@ -183,8 +183,7 @@ def main(argv=None) -> int:
         compat = ReferenceCompat(tet10_quadrature_weight_bug=args.compat_quadrature_bug)
         fa = SolidReactionAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
                                    compat=compat, solver=args.solver)
-        fa.run_simulation(report=bool(args.report),
-                          report_path=args.report or "FEM_Report.md")
+        fa.run_simulation(report=False)
         if args.modal:
             import numpy as np
 
@@ -192,6 +191,8 @@ def main(argv=None) -> int:
             hz = np.asarray(res.omega) / (2 * np.pi)
             print("Natural frequencies [Hz]: "
                   + ", ".join(f"{f:.4f}" for f in hz))
+        if args.report:  # after modal so the report can include it
+            fa.generate_report(args.report)
         if args.plot:
             fa.plot(show_window=False, filename=args.plot)
             print(f"Saved result view to {args.plot}")

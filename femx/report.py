@@ -99,6 +99,18 @@ def solid_report(analysis, filename: str = "FEM_Report.md", image: bool = True) 
             "\nNote: for static equilibrium the Total Reaction equals the "
             "negative of the summed applied forces."
         )
+    modal = getattr(analysis, "modal_result", None)
+    if modal is not None:
+        # femx extension: the reference's solid product has no modal output
+        # (modal is beam-only, BeamSolver.py:440-455); table format mirrors
+        # the beam report's modal section.
+        lines.append("\n## Modal Analysis Results\n")
+        lines.append("| Mode | Frequency (rad/s) | Frequency (Hz) |")
+        lines.append("|---|---|---|")
+        om = np.asarray(modal.omega)
+        for i, w in enumerate(om):
+            lines.append(f"| {i + 1} | {w:.4f} | {w / (2 * np.pi):.4f} |")
+
     if getattr(analysis, "solve_info", None):
         lines.append("\n## Solver\n")
         for k, v in analysis.solve_info.items():

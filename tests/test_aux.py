@@ -106,3 +106,31 @@ def test_pcg_refined_improves_residual():
     refined = pcg_refined(A, b, tol=1e-3, maxiter=5000, refine_steps=2)
     assert float(refined.residual_norm) < float(loose.residual_norm)
     assert float(refined.residual_norm) < 1e-6
+
+
+def test_solid_report_includes_modal_when_present(tmp_path):
+    """Solid report gains a Modal Analysis section when modal() was run
+    (femx extension; the reference's solid report has no modal output)."""
+    import numpy as np
+
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh import box_tet10
+    from femx.report import solid_report
+
+    mesh = box_tet10(0.2, 0.2, 0.3, mesh_size=0.1,
+                     fix_points=[(0, 0, 0), (0.2, 0, 0), (0, 0, 0.3),
+                                 (0.2, 0, 0.3)])
+    fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for x, z in [(0, 0), (0.2, 0), (0, 0.3), (0.2, 0.3)]]
+    fa = SolidReactionAnalysis(mesh, [], fixes, E=2e11, v=0.3, verbose=False)
+    fa.f = np.zeros(3 * fa.num_nodes)
+    fa.assemble_stiffness_matrix()
+    fa.apply_boundary_conditions()
+    fa.solve()
+    fa.modal(n_modes=3, rho=7850.0)
+    p = str(tmp_path / "report.md")
+    solid_report(fa, p, image=False)
+    text = open(p).read()
+    assert "Modal Analysis Results" in text
+    assert "Frequency (Hz)" in text
