@@ -34,7 +34,7 @@ Reference replaced: scipy lil/CSR assembly + SuperLU (ReactionSolver.py:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import numpy as np
 import jax

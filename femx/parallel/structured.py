@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from femx.assembly_structured import StructuredSolidOperator, _SLOTS
+from femx.assembly_structured import StructuredSolidOperator
 
 
 @dataclasses.dataclass

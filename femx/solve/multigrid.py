@@ -23,7 +23,7 @@ applies).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List
+from typing import List
 
 import numpy as np
 import jax
@@ -295,8 +295,14 @@ class StructuredMultigrid:
         # inverse is one MXU matvec. Inverted in f64 on host, symmetrized,
         # cast; as the coarsest-level correction of a PRECONDITIONER the
         # inverse's extra rounding is inert, and symmetry (which CG does
-        # need) is exact by construction.
-        Kinv = np.linalg.inv(Kp)
+        # need) is exact by construction. torch's LAPACK is ~2x numpy's on
+        # this host (measured 3.2 s vs 6.5 s at 3675^2 on one core).
+        try:
+            import torch
+
+            Kinv = torch.linalg.inv(torch.from_numpy(Kp)).numpy()
+        except ImportError:
+            Kinv = np.linalg.inv(Kp)
         Kinv = 0.5 * (Kinv + Kinv.T)
         self._coarse_inv = jnp.asarray(Kinv.astype(dtype))
 

@@ -17,7 +17,7 @@ widget plumbing.
 from __future__ import annotations
 
 from femx.ui.models import (
-    IMPLEMENTED_PRODUCTS,
+    IMPLEMENTED_PRODUCTS,  # re-exported: consumed as femx.ui.qt.IMPLEMENTED_PRODUCTS
     PRODUCT_OPTIONS,
     SECTION_TYPES,
     BeamAnalysisModel,
@@ -31,7 +31,6 @@ try:
         QCheckBox,
         QComboBox,
         QDialog,
-        QDoubleSpinBox,
         QFileDialog,
         QFormLayout,
         QHBoxLayout,
@@ -41,7 +40,6 @@ try:
         QMessageBox,
         QPushButton,
         QVBoxLayout,
-        QWidget,
     )
 
     QT_AVAILABLE = True
