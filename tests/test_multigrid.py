@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from femx.mesh import box_tet10
 from femx.solve.cg import pcg
+from femx.assembly_structured import StructuredSolidOperator
 from femx.solve.multigrid import StructuredMultigrid, prolong, restrict
 
 
@@ -150,3 +151,46 @@ def test_mg_auto_path_anisotropic_box_no_crash():
     assert fa.solve_info["method"] in ("structured_multigrid_pcg",
                                        "structured_block_jacobi_pcg")
     np.testing.assert_allclose(fa.equilibrium_residual(), 0.0, atol=1e-8)
+
+
+def test_mg_pytree_argument_equals_closure():
+    """The multigrid pytree passed as a jit ARGUMENT must give the identical
+    solve (same iterations, same bits) as the closure form — the
+    compile-payload optimization must be semantics-free."""
+    import jax
+
+    from femx.mesh import box_tet10
+    from femx.solve.cg import pcg
+
+    mesh = box_tet10(0.2, 0.2, 0.4, mesh_size=0.05)
+    op = StructuredSolidOperator.from_mesh(mesh, 2e11, 0.3, dtype=np.float64)
+    mask = np.ones(op.ndof)
+    for n in np.where(mesh.points[:, 2] < 1e-9)[0]:
+        mask[3 * n : 3 * n + 3] = 0
+    op = op.with_free_mask(op.to_internal(mask))
+    mg = StructuredMultigrid(None, mesh.structured.n_cells, 2e11, 0.3, mask,
+                             spacing=mesh.structured.spacing,
+                             dtype=np.float64, fine_op=op)
+    f = np.zeros(op.ndof)
+    f[-4] = 123.0
+    fj = jnp.asarray(op.to_internal(f * mask))
+
+    r_closure = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=1e-10,
+                    maxiter=100)
+
+    @jax.jit
+    def solve(fv, mg_):
+        return pcg(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+                   tol=1e-10, maxiter=100)
+
+    r_args = solve(fj, mg)
+    assert int(r_closure.iterations) == int(r_args.iterations)
+    # eager (closure) vs fused (one jit) differ only in rounding order
+    np.testing.assert_allclose(np.asarray(r_closure.x), np.asarray(r_args.x),
+                               rtol=1e-9, atol=0)
+
+    # flatten/unflatten round-trip preserves the preconditioner action
+    leaves, td = jax.tree.flatten(mg)
+    mg2 = jax.tree.unflatten(td, leaves)
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(op.ndof))
+    np.testing.assert_array_equal(np.asarray(mg(r)), np.asarray(mg2(r)))  # same objects -> same bits
