@@ -331,12 +331,34 @@ class StructuredSolidOperator:
         fe = jax.lax.dot(
             self.Kcell, ue, precision=jax.lax.Precision.HIGHEST
         ).reshape(27, 3, nx, ny, nz)
-        out = [jnp.zeros_like(g) for g in phases]
-        for s, (a, b, c) in enumerate(_SLOTS):
-            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
-            ia, jb, kc = a // 2, b // 2, c // 2
-            out[pidx] = out[pidx].at[:, ia : ia + nx, jb : jb + ny, kc : kc + nz].add(fe[s])
-        return self._join_phases(out)
+        return self._join_phases(self._overlap_add(fe, phases))
+
+    def _overlap_add(self, fe: jnp.ndarray, phases: List[jnp.ndarray]):
+        """Per-phase overlap-add of the 27 slot results as SUMS OF PADDED
+        SLICES: each output phase is written exactly once (XLA fuses the
+        pads+adds into one pass), instead of 27 sequential in-place
+        .at[].add updates whose read-modify-write traffic (~27 full output
+        buffers) dominated the apply (measured 0.88 ms vs the ~0.2 ms
+        bandwidth roofline at 1.39M DOF)."""
+        nx, ny, nz = self.n_cells
+        out = []
+        for pidx in range(8):
+            px, py, pz = pidx // 4, (pidx // 2) % 2, pidx % 2
+            sx, sy, sz = phases[pidx].shape[1:]
+            acc = None
+            for s, (a, b, c) in enumerate(_SLOTS):
+                if ((a % 2), (b % 2), (c % 2)) != (px, py, pz):
+                    continue
+                ia, jb, kc = a // 2, b // 2, c // 2
+                piece = jnp.pad(fe[s], (
+                    (0, 0),
+                    (ia, sx - nx - ia),
+                    (jb, sy - ny - jb),
+                    (kc, sz - nz - kc),
+                ))
+                acc = piece if acc is None else acc + piece
+            out.append(acc)
+        return out
 
     def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
         s = self.free_mask
@@ -367,12 +389,7 @@ class StructuredSolidOperator:
         fe = jax.lax.dot(
             self.Kcell, ue, precision=jax.lax.Precision.HIGHEST
         ).reshape(27, 3, nx, ny, nz)
-        out = [jnp.zeros_like(g) for g in phases]
-        for s, (a, b, c) in enumerate(_SLOTS):
-            pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
-            ia, jb, kc = a // 2, b // 2, c // 2
-            out[pidx] = out[pidx].at[:, ia : ia + nx, jb : jb + ny, kc : kc + nz].add(fe[s])
-        return out
+        return self._overlap_add(fe, phases)
 
     def apply_constrained_phases(self, phases):
         m = self.mask_phases()
