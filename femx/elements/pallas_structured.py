@@ -41,13 +41,15 @@ and the kernel now COMPILES AND RUNS BIT-EXACT on the real chip:
    (infer-vector-layout "unsupported shape cast").
 
 Measured on TPU v5e at 1.39M DOF (24,24,96 cells), in-jit fori_loop
-differencing: XLA apply 0.878 ms; this kernel 0.908-0.926 ms (cx=8/2) —
-parity, not a win: the (81, nz=96) strip dots pad the MXU heavily, and the
-one-big-dot variant needs the non-128 lane merge Mosaic still rejects
-(pad nz to 128 lanes to enable it — future work). Since the apply is ~7%
-of an MG-PCG iteration, the XLA formulation remains the production default;
-the compiled kernel is kept as a validated alternative
-(FEMX_PALLAS_APPLY=1 enables it in StructuredSolidOperator.apply).
+differencing: this kernel 0.908-0.926 ms (cx=8/2) vs the XLA apply at
+0.878 ms with in-place overlap-adds and 0.173 ms after the padded-slice
+overlap-add rewrite (assembly_structured._overlap_add) — the XLA
+formulation now sits AT the HBM bandwidth roofline, so the kernel's
+remaining value is as a Mosaic regression canary, not a speedup. The
+(81, nz=96) strip dots pad the MXU heavily; the one-big-dot variant needs
+the non-128 lane merge Mosaic still rejects (pad nz to 128 lanes — future
+work). The XLA formulation is the production default; FEMX_PALLAS_APPLY=1
+enables this kernel in StructuredSolidOperator.apply.
 """
 
 from __future__ import annotations
