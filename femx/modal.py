@@ -17,6 +17,7 @@ omega = sqrt(lambda) rad/s, mode shapes scattered to full DOF vectors
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import numpy as np
@@ -203,8 +204,18 @@ def modal_shift_invert(
         dtype = K_solve(jnp.zeros(ndof)).dtype
     d = jnp.asarray(d_host, dtype=dtype)
 
-    def T_apply(v):
-        return d * K_solve(d * v)
+    # ONE jitted program per Lanczos iteration (inner solve + two-pass
+    # reorthogonalization + normalized append), with the basis buffer
+    # donated. The naive formulation dispatched ~8 separate device programs
+    # per iteration; through the axon relay (~30 ms per dispatch) that
+    # overhead exceeded the inner MG-PCG solve itself.
+    @partial(jax.jit, donate_argnums=0)
+    def lanczos_iter(V, j, d_):
+        w = d_ * K_solve(d_ * V[j])
+        w, alpha, beta = _lanczos_orth_step(V, w, j)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V = V.at[j + 1].set(w / safe)
+        return V, alpha, beta
 
     orth = jax.jit(_lanczos_orth_step)
     set_row = jax.jit(
@@ -225,8 +236,7 @@ def modal_shift_invert(
     k_done = 0
     restarts = 0
     for j in range(maxiter):
-        w = T_apply(V[j])
-        w, alpha, beta = orth(V, w, j)
+        V, alpha, beta = lanczos_iter(V, j, d)
         alphas.append(float(alpha))
         betas.append(float(beta))
         k_done = j + 1
@@ -259,7 +269,7 @@ def modal_shift_invert(
         else:
             if j + 1 >= maxiter:
                 break
-            V = set_row(V, j + 1, w / beta)
+            # normalized row j+1 already written inside lanczos_iter
 
     n_keep = min(n_modes, k_done)
     S_top = jnp.asarray(S[:, :n_keep], dtype=dtype)  # (k, n_keep)
