@@ -443,6 +443,7 @@ class SolidReactionAnalysis:
             # maxiter is a bound, not a cost: the while_loop exits on
             # convergence (MG needs ~20; block-Jacobi fallback needs
             # thousands at tight tolerances)
+            state = None
             if isinstance(self._precond, StructuredMultigrid):
                 _ks = jax.jit(
                     lambda b, mg_: pcg(mg_.fine_op.apply_constrained, b,
@@ -452,6 +453,8 @@ class SolidReactionAnalysis:
 
                 def k_solve(b):
                     return _ks(b, self._precond)
+
+                state = (op, self._precond, float(inner_tol), 4000)
             else:
                 @jax.jit
                 def k_solve(b):
@@ -461,7 +464,7 @@ class SolidReactionAnalysis:
 
             res = modal_shift_invert(
                 k_solve, m_int, op.free_mask_host, n_modes=n_modes, tol=tol,
-                maxiter=maxiter, dtype=op.Kcell.dtype,
+                maxiter=maxiter, dtype=op.Kcell.dtype, solver_state=state,
             )
             modes = np.stack(
                 [op.to_global(np.asarray(res.modes[:, i]))
@@ -489,6 +492,7 @@ class SolidReactionAnalysis:
             precond = getattr(self, "_precond", None)
             from femx.solve.lattice_precond import LatticePreconditioner
 
+            state = None
             if is_tg and isinstance(precond, LatticePreconditioner):
                 _ks = jax.jit(
                     lambda b, op_, lp_: pcg(op_.apply_constrained, b,
@@ -497,9 +501,14 @@ class SolidReactionAnalysis:
 
                 def k_solve(b):
                     return _ks(b, op, precond)
+
+                state = (op, precond, float(inner_tol), 4000)
             elif is_tg:
+                from femx.assembly_soa import BlockJacobiPrecond
+
                 bj_data = (precond[1] if isinstance(precond, tuple)
                            else op.soa.block_jacobi_tensors())
+                bj_obj = BlockJacobiPrecond(bj_data)
                 _ks = jax.jit(
                     lambda b, op_, t: pcg(
                         op_.apply_constrained, b,
@@ -508,6 +517,8 @@ class SolidReactionAnalysis:
 
                 def k_solve(b):
                     return _ks(b, op, bj_data)
+
+                state = (op, bj_obj, float(inner_tol), 4000)
             else:
                 if precond is None:  # dense path never built one
                     precond = op.block_jacobi_preconditioner()
@@ -519,7 +530,7 @@ class SolidReactionAnalysis:
 
             res = modal_shift_invert(
                 k_solve, m_use, free_mask, n_modes=n_modes, tol=tol,
-                maxiter=maxiter, dtype=dtype,
+                maxiter=maxiter, dtype=dtype, solver_state=state,
             )
             if is_tg:
                 modes = np.stack(

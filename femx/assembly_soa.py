@@ -191,3 +191,22 @@ def _soa_unflatten(aux, children):
 
 
 jax.tree_util.register_pytree_node(SolidOperatorSoA, _soa_flatten, _soa_unflatten)
+
+
+class BlockJacobiPrecond:
+    """Callable pytree wrapper for the SoA block-Jacobi tensors, so the
+    preconditioner can travel through jit as an ARGUMENT (pcg's M_inv_diag
+    accepts callables; a bare closure can't be a pytree leaf)."""
+
+    def __init__(self, tensors):
+        self.tensors = tensors
+
+    def __call__(self, r):
+        return SolidOperatorSoA.apply_block_jacobi(self.tensors, r)
+
+
+jax.tree_util.register_pytree_node(
+    BlockJacobiPrecond,
+    lambda p: ((p.tensors,), ()),
+    lambda aux, ch: BlockJacobiPrecond(ch[0]),
+)

@@ -161,6 +161,7 @@ def modal_shift_invert(
     maxiter: int = 100,
     key=None,
     dtype=None,
+    solver_state=None,
 ) -> ModalResult:
     """Shift-invert Lanczos for the smallest modes of K v = lambda M v.
 
@@ -190,6 +191,14 @@ def modal_shift_invert(
       free_mask: (ndof,) 1.0 free / 0.0 fixed.
       tol: Lanczos convergence — residual bound beta_k |s_k| <= tol * mu for
         each of the first n_modes Ritz pairs.
+      solver_state: optional (op, precond, inner_tol, inner_maxiter) with op
+        and precond registered PYTREES. When given, the whole Lanczos
+        iteration (inner PCG + reorthogonalization + append) runs as ONE
+        module-level jitted program with the state as arguments — cached
+        ACROSS calls (a per-call closure jit re-traces and re-loads the big
+        executable every call, measured at tens of seconds), and only two
+        scalar readbacks per iteration. K_solve is then only used for
+        restarts/probes.
     Returns:
       ModalResult: omega (rad/s, ascending) and mass-orthonormal mode shapes
       (v^T M v = I), fixed DOFs exactly zero.
@@ -207,15 +216,23 @@ def modal_shift_invert(
     # ONE jitted program per Lanczos iteration (inner solve + two-pass
     # reorthogonalization + normalized append), with the basis buffer
     # donated. The naive formulation dispatched ~8 separate device programs
-    # per iteration; through the axon relay (~30 ms per dispatch) that
-    # overhead exceeded the inner MG-PCG solve itself.
-    @partial(jax.jit, donate_argnums=0)
-    def lanczos_iter(V, j, d_):
-        w = d_ * K_solve(d_ * V[j])
-        w, alpha, beta = _lanczos_orth_step(V, w, j)
-        safe = jnp.where(beta > 0, beta, 1.0)
-        V = V.at[j + 1].set(w / safe)
-        return V, alpha, beta
+    # per iteration (each relay round trip ~30 ms). With solver_state the
+    # program is MODULE-LEVEL (cached across calls); otherwise it closes
+    # over K_solve and pays a per-call retrace.
+    if solver_state is not None:
+        s_op, s_pre, s_tol, s_maxit = solver_state
+
+        def lanczos_iter(V, j, d_):
+            return _lanczos_iter_pcg(V, j, d_, s_op, s_pre,
+                                     inner_tol=s_tol, inner_maxiter=s_maxit)
+    else:
+        @partial(jax.jit, donate_argnums=0)
+        def lanczos_iter(V, j, d_):
+            w = d_ * K_solve(d_ * V[j])
+            w, alpha, beta = _lanczos_orth_step(V, w, j)
+            safe = jnp.where(beta > 0, beta, 1.0)
+            V = V.at[j + 1].set(w / safe)
+            return V, alpha, beta
 
     orth = jax.jit(_lanczos_orth_step)
     set_row = jax.jit(
@@ -283,6 +300,23 @@ def modal_shift_invert(
     )
 
 
+@partial(jax.jit, donate_argnums=0,
+         static_argnames=("inner_tol", "inner_maxiter"))
+def _lanczos_iter_pcg(V, j, d, op, precond, *, inner_tol, inner_maxiter):
+    """One shift-invert Lanczos iteration with an inner PCG solve.
+
+    Module-level jit: op/precond enter as pytree ARGUMENTS, so the compiled
+    executable is shared across modal calls with the same structures."""
+    from femx.solve.cg import pcg
+
+    w = d * pcg(op.apply_constrained, d * V[j], M_inv_diag=precond,
+                tol=inner_tol, maxiter=inner_maxiter).x
+    w, alpha, beta = _lanczos_orth_step(V, w, j)
+    safe = jnp.where(beta > 0, beta, 1.0)
+    V = V.at[j + 1].set(w / safe)
+    return V, alpha, beta
+
+
 def _lanczos_orth_step(V, w, j):
     """Two-pass classical Gram-Schmidt of w against all rows of V (rows past
     the current iterate are zero, so they project to nothing). Returns the
@@ -321,7 +355,8 @@ def solid_modal_structured(
 
     if isinstance(preconditioner, StructuredMultigrid):
         # pytree-argument form: keeps the MG arrays out of the compiled
-        # program's constants (see StructuredMultigrid docstring)
+        # program's constants AND lets the per-iteration Lanczos program be
+        # a module-level jit cached across calls
         @jax.jit
         def _ks(b, op_, mg_):
             return pcg(op_.apply_constrained, b, M_inv_diag=mg_,
@@ -329,6 +364,8 @@ def solid_modal_structured(
 
         def k_solve(b):
             return _ks(b, op, preconditioner)
+
+        state = (op, preconditioner, float(inner_tol), int(inner_maxiter))
     else:
         @jax.jit
         def k_solve(b):
@@ -337,9 +374,11 @@ def solid_modal_structured(
                 tol=inner_tol, maxiter=inner_maxiter,
             ).x
 
+        state = None
+
     return modal_shift_invert(
         k_solve, m_diag, op.free_mask_host, n_modes=n_modes, tol=tol,
-        maxiter=maxiter, dtype=op.Kcell.dtype,
+        maxiter=maxiter, dtype=op.Kcell.dtype, solver_state=state,
     )
 
 
