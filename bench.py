@@ -80,10 +80,12 @@ def main():
     def solve(fv):
         return solve_args(fv, mg)
 
-    # Refined variant: f32 inner solves + f64 residual evaluation (the
-    # f32-on-TPU answer to the reference's f64 SuperLU; BASELINE.json asks
-    # 1e-8-rel parity on deflections). The f64 operator only evaluates
-    # residuals — one apply per refinement pass.
+    # Accurate variant (the headline): f32 inner solves + adaptive f64
+    # iterative refinement to a TRUE residual <= 1e-8 (the f32-on-TPU answer
+    # to the reference's f64 SuperLU; BASELINE.json asks 1e-8-rel parity on
+    # deflections). Refinement contracts the true residual ~86x per pass
+    # (measured; see solve.cg.pcg_refined) — 4 passes reach ~1e-9. The f64
+    # operator only evaluates residuals — one apply per refinement pass.
     op64 = op.astype(np.float64)
 
     f64j = jnp.asarray(op.to_internal(f * mask), dtype=np.float64)
@@ -91,8 +93,9 @@ def main():
     @jax.jit
     def solve_refined_args(fv, fv64, mg_, op64_):
         res = pcg_refined(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
-                          tol=tol, maxiter=200, refine_steps=2,
-                          A_residual=op64_.apply_constrained, b_residual=fv64)
+                          tol=tol, maxiter=200, refine_steps=6,
+                          A_residual=op64_.apply_constrained, b_residual=fv64,
+                          outer_tol=1e-8)
         return res.x, res.iterations, res.residual_norm
 
     def solve_refined(fv, fv64):
@@ -126,8 +129,9 @@ def main():
     jax.block_until_ready(ur)
     _ = float(rnr)
     t_refined = time.perf_counter() - t0
-    log(f"refined solve (2 refinement passes): {t_refined:.3f}s, "
-        f"total inner iters={int(itr)}, true residual={float(rnr):.2e}")
+    log(f"accurate solve (adaptive refinement to true residual <= 1e-8): "
+        f"{t_refined:.3f}s, total inner iters={int(itr)}, "
+        f"true residual={float(rnr):.2e}")
 
     # Modal north star (BASELINE.json "first-10-modes eig time"): shift-invert
     # Lanczos with MG-PCG inner solves on the same flagship operator. The
@@ -158,16 +162,22 @@ def main():
 
     target = 2.0  # BASELINE.json north star: < 2 s at 1M DOF
     print(json.dumps({
-        "metric": "solid_cantilever_mg_solve_wall",
-        "value": round(t_best, 4),
-        "unit": f"s @ {ndof} DOF (MG-PCG tol {tol:g}, {iters} iters, {np.dtype(dtype).name})",
-        "vs_baseline": round(target / t_best, 3),
+        # Headline = the solve that meets BOTH north stars at once: < 2 s
+        # wall AND true f64 residual <= 1e-8 (f32 MG-PCG inner solves +
+        # adaptive f64 refinement). The pure-f32 warm solve (1e-5) is
+        # reported as f32_solve_s.
+        "metric": "solid_cantilever_accurate_solve_wall",
+        "value": round(t_refined, 4),
+        "unit": (f"s @ {ndof} DOF (true residual {float(rnr):.1e}, "
+                 f"{int(itr)} inner f32 MG-PCG iters)"),
+        "vs_baseline": round(target / t_refined, 3),
         # honest cold/warm split: one-time host setup and one-time XLA
         # compilation amortize across solves; 'value' is the warm solve.
         "setup_s": round(t_setup, 2),
         "compile_s": round(t_compile, 2),
-        "refined_solve_s": round(t_refined, 4),
-        "refined_residual": float(rnr),
+        "f32_solve_s": round(t_best, 4),
+        "f32_iters": iters,
+        "true_residual": float(rnr),
         "modal10_s": round(t_modal, 2),
         "modal10_compile_s": round(t_modal_cold, 2),
         "modal10_inner_solves": int(mres.iterations),

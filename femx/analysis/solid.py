@@ -24,6 +24,7 @@ import time
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from femx import bc as bc_mod
@@ -32,8 +33,83 @@ from femx.config import DEFAULT_COMPAT, ReferenceCompat
 from femx.elements import tet10 as tet10_el
 from femx.mesh.core import Mesh, nodes_in_physical_group
 from femx.mesh.msh_io import read_msh
-from femx.solve.cg import pcg
+from femx.solve.cg import pcg, pcg_refined
 from femx.solve.dense import solve_dense
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted solver entry points. These MUST be defined once at
+# module scope: wrapping a fresh jax.jit(lambda ...) per call re-traces and
+# re-loads the executable every time (tens of seconds per trace for the
+# million-DOF programs through the remote TPU compiler — measured), whereas
+# module-level jits hit the in-process cache after the first call. All
+# operators/preconditioners enter as pytree ARGUMENTS (closed-over device
+# arrays become compiled-program constants and dominate the remote-compile
+# payload); tol/maxiter are traced scalars so retuning them doesn't retrace.
+# ---------------------------------------------------------------------------
+@jax.jit
+def _jit_pcg_mg(fv, mg_, tol, maxiter):
+    return pcg(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+               tol=tol, maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_refined_mg(fv, fv64, mg_, op64_, tol, outer_tol):
+    return pcg_refined(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+                       tol=tol, refine_steps=8,
+                       A_residual=op64_.apply_constrained, b_residual=fv64,
+                       outer_tol=outer_tol)
+
+
+@jax.jit
+def _jit_pcg_op_precond(fv, op_, precond_, tol, maxiter):
+    return pcg(op_.apply_constrained, fv, M_inv_diag=precond_, tol=tol,
+               maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_op_bj(fv, op_, bj_data, tol, maxiter):
+    return pcg(op_.apply_constrained, fv,
+               M_inv_diag=lambda r: op_.soa.apply_block_jacobi(bj_data, r),
+               tol=tol, maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_st_bj(fv, op_, binv, tol, maxiter):
+    return pcg(op_.apply_constrained, fv,
+               M_inv_diag=lambda r: op_.apply_block_jacobi(binv, r), tol=tol,
+               maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_refined_st_bj(fv, fv64, op_, op64_, binv, tol, outer_tol):
+    return pcg_refined(op_.apply_constrained, fv,
+                       M_inv_diag=lambda r: op_.apply_block_jacobi(binv, r),
+                       tol=tol, refine_steps=8,
+                       A_residual=op64_.apply_constrained, b_residual=fv64,
+                       outer_tol=outer_tol)
+
+
+@jax.jit
+def _jit_pcg_refined_op_precond(fv, fv64, op_, op64_, precond_, tol, outer_tol):
+    return pcg_refined(op_.apply_constrained, fv, M_inv_diag=precond_,
+                       tol=tol, refine_steps=8,
+                       A_residual=op64_.apply_constrained, b_residual=fv64,
+                       outer_tol=outer_tol)
+
+
+@jax.jit
+def _jit_pcg_refined_op_bj(fv, fv64, op_, op64_, bj_data, tol, outer_tol):
+    return pcg_refined(op_.apply_constrained, fv,
+                       M_inv_diag=lambda r: op_.soa.apply_block_jacobi(bj_data, r),
+                       tol=tol, refine_steps=8,
+                       A_residual=op64_.apply_constrained, b_residual=fv64,
+                       outer_tol=outer_tol)
+
+
+@jax.jit
+def _jit_apply_op(v, op_):
+    return op_.apply_constrained(v)
 
 
 class SolidReactionAnalysis:
@@ -200,12 +276,14 @@ class SolidReactionAnalysis:
                     # cell counts) — block-Jacobi PCG still solves correctly.
                     self._log(f"   - Multigrid unavailable ({e}); "
                               "falling back to block-Jacobi PCG.")
+            binv = None
             if minv is None:
-                minv = op.block_jacobi_preconditioner()
+                # block-Jacobi tensors (not the closure form) so the solve
+                # can take them as jit ARGUMENTS
+                binv = [jnp.asarray(b) for b in op.block_jacobi_tensors()]
+                minv = ("st_bj", binv)
                 method = "structured_block_jacobi_pcg"
             self._precond = minv
-            import jax
-
             from femx.solve.multigrid import StructuredMultigrid
 
             # The MG preconditioner enters jit as a pytree ARGUMENT (its
@@ -213,34 +291,26 @@ class SolidReactionAnalysis:
             # remote-compile payload on TPU; see StructuredMultigrid).
             mg_arg = minv if isinstance(minv, StructuredMultigrid) else None
             if np.dtype(dtype) == np.float32:
-                # f32 inner solves + f64 outer iterative refinement: the
-                # TPU configuration. A pure-f32 solve cannot push the TRUE
-                # residual below ~1e-2 rel (catastrophic cancellation in
-                # b - K x with K entries ~E*h); see solve.cg.pcg_refined.
-                from femx.solve.cg import pcg_refined
-
+                # f32 inner solves + ADAPTIVE f64 iterative refinement to a
+                # true residual <= cg_tol (~86x contraction per pass,
+                # divergence-guarded; see solve.cg.pcg_refined). A pure-f32
+                # solve cannot push the TRUE residual below ~1e-2 rel
+                # (catastrophic cancellation in b - K x with K entries ~E*h).
                 op64 = op.astype(np.float64)
+                self._op64 = op64
                 f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
+                inner_tol = max(self.cg_tol, 1e-5)
                 if mg_arg is not None:
-                    res = jax.jit(
-                        lambda fv, fv64, mg_, op64_: pcg_refined(
-                            mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
-                            tol=self.cg_tol,
-                            A_residual=op64_.apply_constrained, b_residual=fv64,
-                        )
-                    )(f_int, f64_int, mg_arg, op64)
+                    res = _jit_pcg_refined_mg(f_int, f64_int, mg_arg, op64,
+                                              inner_tol, self.cg_tol)
                 else:
-                    res = pcg_refined(op.apply_constrained, f_int, M_inv_diag=minv,
-                                      tol=self.cg_tol, A_residual=op64.apply_constrained,
-                                      b_residual=f64_int)
+                    res = _jit_pcg_refined_st_bj(f_int, f64_int, op, op64,
+                                                 binv, inner_tol, self.cg_tol)
                 method += "_refined"
             elif mg_arg is not None:
-                res = jax.jit(
-                    lambda fv, mg_: pcg(mg_.fine_op.apply_constrained, fv,
-                                        M_inv_diag=mg_, tol=self.cg_tol)
-                )(f_int, mg_arg)
+                res = _jit_pcg_mg(f_int, mg_arg, self.cg_tol, 10000)
             else:
-                res = pcg(op.apply_constrained, f_int, M_inv_diag=minv, tol=self.cg_tol)
+                res = _jit_pcg_st_bj(f_int, op, binv, self.cg_tol, 10000)
             u_int = res.x
             self.solve_info = {
                 "method": method,
@@ -250,7 +320,13 @@ class SolidReactionAnalysis:
             }
             self.u = op.to_global(np.asarray(u_int))
             self._log("   - System solved.")
-            self.reaction_forces = op.to_global(np.asarray(op.apply(u_int)))
+            # reactions r = K u in the precision of the solution (the
+            # refined path returns f64 x; applying the f32 operator to it
+            # would both lose the refinement and mismatch lax.dot dtypes)
+            x_dt = np.dtype(np.asarray(u_int).dtype)
+            r_op = getattr(self, "_op64", op) if x_dt == np.float64 else op
+            r_op = r_op.astype(x_dt)
+            self.reaction_forces = r_op.to_global(np.asarray(r_op.apply(u_int)))
             self.stage_times["solve"] = time.perf_counter() - t0
             return
 
@@ -268,8 +344,6 @@ class SolidReactionAnalysis:
             # below can enter jit as ARGUMENTS (closures embed the operator/
             # preconditioner arrays as compiled constants — at 1M+ DOF that
             # exceeds the remote-compile payload limit outright).
-            import jax
-
             bj_data = op.soa.block_jacobi_tensors()
             bj_fn = type(op.soa).apply_block_jacobi
             minv = None
@@ -291,48 +365,28 @@ class SolidReactionAnalysis:
                     self._log(f"   - Lattice preconditioner unavailable ({e}); "
                               "using block-Jacobi.")
             self._precond = minv if minv is not None else ("bj", bj_data)
-            if minv is not None:
-                def run_pcg(A_fn, fv, tol):
-                    return jax.jit(
-                        lambda fv_, op_, lp_: pcg(
-                            getattr(op_, A_fn), fv_, M_inv_diag=lp_, tol=tol)
-                    )(fv, op, minv)
-            else:
-                def run_pcg(A_fn, fv, tol):
-                    return jax.jit(
-                        lambda fv_, op_, t: pcg(
-                            getattr(op_, A_fn), fv_,
-                            M_inv_diag=lambda r: op_.soa.apply_block_jacobi(t, r),
-                            tol=tol)
-                    )(fv, op, bj_data)
 
             if np.dtype(dtype) == np.float32:
-                from femx.solve.cg import CGResult
-
-                # mixed precision: f32 inner solves as above + f64 outer
-                # refinement (host loop; residuals through the f64 operator)
+                # f32 inner solves + adaptive f64 refinement (one compiled
+                # program; see solve.cg.pcg_refined). Module-level jits —
+                # per-call jit(lambda) retraced the identical million-DOF
+                # program on every invocation (advisor finding, round 2).
                 op64 = op.astype(np.float64)
+                self._op64 = op64
                 f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
-                inner = run_pcg("apply_constrained", f_int, self.cg_tol)
-                x_h = jnp.asarray(inner.x, dtype=jnp.float64)
-                total_it = inner.iterations
-                res_apply64 = jax.jit(lambda v, o: o.apply_constrained(v))
-                for _ in range(2):
-                    r_h = f64_int - res_apply64(x_h, op64)
-                    corr = run_pcg("apply_constrained",
-                                   jnp.asarray(r_h, dtype=jnp.float32),
-                                   self.cg_tol)
-                    x_h = x_h + jnp.asarray(corr.x, dtype=jnp.float64)
-                    total_it = total_it + corr.iterations
-                r_h = f64_int - res_apply64(x_h, op64)
-                bn = float(jnp.linalg.norm(f64_int))
-                rn = float(jnp.linalg.norm(r_h)) / (bn if bn > 0 else 1.0)
-                res = CGResult(x=x_h, iterations=total_it,
-                               residual_norm=jnp.asarray(rn),
-                               converged=jnp.asarray(rn <= self.cg_tol))
+                inner_tol = max(self.cg_tol, 1e-5)
+                if minv is not None:
+                    res = _jit_pcg_refined_op_precond(
+                        f_int, f64_int, op, op64, minv, inner_tol, self.cg_tol)
+                else:
+                    res = _jit_pcg_refined_op_bj(
+                        f_int, f64_int, op, op64, bj_data, inner_tol, self.cg_tol)
                 method = method_prefix + "_pcg_refined"
+            elif minv is not None:
+                res = _jit_pcg_op_precond(f_int, op, minv, self.cg_tol, 10000)
+                method = method_prefix + "_pcg"
             else:
-                res = run_pcg("apply_constrained", f_int, self.cg_tol)
+                res = _jit_pcg_op_bj(f_int, op, bj_data, self.cg_tol, 10000)
                 method = method_prefix + "_pcg"
             self.solve_info = {
                 "method": method,
@@ -342,8 +396,11 @@ class SolidReactionAnalysis:
             }
             self.u = op.to_global(np.asarray(res.x))
             self._log("   - System solved.")
-            self.reaction_forces = op.to_global(
-                np.asarray(op.apply(jnp.asarray(op.to_internal(self.u), dtype=dtype)))
+            x_dt = np.dtype(np.asarray(res.x).dtype)
+            r_op = getattr(self, "_op64", op) if x_dt == np.float64 else op
+            r_op = r_op.astype(x_dt)
+            self.reaction_forces = r_op.to_global(
+                np.asarray(r_op.apply(jnp.asarray(r_op.to_internal(self.u))))
             )
             self.stage_times["solve"] = time.perf_counter() - t0
             return
@@ -445,22 +502,15 @@ class SolidReactionAnalysis:
             # thousands at tight tolerances)
             state = None
             if isinstance(self._precond, StructuredMultigrid):
-                _ks = jax.jit(
-                    lambda b, mg_: pcg(mg_.fine_op.apply_constrained, b,
-                                       M_inv_diag=mg_, tol=inner_tol,
-                                       maxiter=4000).x
-                )
-
                 def k_solve(b):
-                    return _ks(b, self._precond)
+                    return _jit_pcg_mg(b, self._precond, inner_tol, 4000).x
 
                 state = (op, self._precond, float(inner_tol), 4000)
             else:
-                @jax.jit
+                binv = self._precond[1]  # ("st_bj", tensors) from solve()
+
                 def k_solve(b):
-                    return pcg(op.apply_constrained, b,
-                               M_inv_diag=self._precond,
-                               tol=inner_tol, maxiter=4000).x
+                    return _jit_pcg_st_bj(b, op, binv, inner_tol, 4000).x
 
             res = modal_shift_invert(
                 k_solve, m_int, op.free_mask_host, n_modes=n_modes, tol=tol,
@@ -494,13 +544,8 @@ class SolidReactionAnalysis:
 
             state = None
             if is_tg and isinstance(precond, LatticePreconditioner):
-                _ks = jax.jit(
-                    lambda b, op_, lp_: pcg(op_.apply_constrained, b,
-                                            M_inv_diag=lp_, tol=inner_tol,
-                                            maxiter=4000).x)
-
                 def k_solve(b):
-                    return _ks(b, op, precond)
+                    return _jit_pcg_op_precond(b, op, precond, inner_tol, 4000).x
 
                 state = (op, precond, float(inner_tol), 4000)
             elif is_tg:
@@ -509,14 +554,9 @@ class SolidReactionAnalysis:
                 bj_data = (precond[1] if isinstance(precond, tuple)
                            else op.soa.block_jacobi_tensors())
                 bj_obj = BlockJacobiPrecond(bj_data)
-                _ks = jax.jit(
-                    lambda b, op_, t: pcg(
-                        op_.apply_constrained, b,
-                        M_inv_diag=lambda r: op_.soa.apply_block_jacobi(t, r),
-                        tol=inner_tol, maxiter=4000).x)
 
                 def k_solve(b):
-                    return _ks(b, op, bj_data)
+                    return _jit_pcg_op_bj(b, op, bj_data, inner_tol, 4000).x
 
                 state = (op, bj_obj, float(inner_tol), 4000)
             else:

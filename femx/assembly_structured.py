@@ -262,6 +262,8 @@ class StructuredSolidOperator:
         readbacks). Used to build the float64 residual operator for
         mixed-precision iterative refinement (solve.cg.pcg_refined)."""
         dt = np.dtype(dtype)
+        if dt == np.dtype(self.Kcell.dtype):
+            return self
         Kc = self.Kcell_host.astype(dt)
         out = dataclasses.replace(self, Kcell=jnp.asarray(Kc))
         object.__setattr__(out, "_Kcell_host", Kc)

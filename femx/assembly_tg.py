@@ -151,6 +151,8 @@ class SolidOperatorTG:
     def astype(self, dtype) -> "SolidOperatorTG":
         """Cast geometry/mask (f64 residual operator for pcg_refined)."""
         dt = jnp.dtype(dtype)
+        if dt == jnp.dtype(self.dtype):
+            return self
         return dataclasses.replace(
             self,
             soa=self.soa.astype(dt),

@@ -293,7 +293,11 @@ def modal_shift_invert(
     W = V[:k_done].T @ S_top  # (ndof, n_keep) Ritz vectors of T
     modes = W * jnp.asarray(dinv_host, dtype=dtype)[:, None]
     lam = 1.0 / np.maximum(mu[:n_keep], 1e-300)
-    valid = lam > 1e-6  # reference filter semantics (BeamSolver.py:448)
+    # reference filter semantics (BeamSolver.py:448) — but ALSO require
+    # mu > 0: inexact inner K-solves can produce a non-positive Ritz value,
+    # whose 1/mu would otherwise pass the lam filter as a garbage
+    # astronomically-large frequency (advisor finding, round 2).
+    valid = (mu[:n_keep] > 0) & (lam > 1e-6)
     omega = np.sqrt(np.where(valid, lam, 1.0)) * valid
     return ModalResult(
         omega=jnp.asarray(omega, dtype=dtype), modes=modes, iterations=k_done

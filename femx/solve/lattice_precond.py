@@ -22,7 +22,8 @@ transfer operators:
 Both M^-1 terms are SPSD and D^-1 is SPD on free DOFs, so M^-1 is SPD and
 CG convergence theory applies. Effectiveness depends on the lattice
 resolving the mesh (node spacing ~ element size); the auto heuristic
-matches lattice half-spacing to the median element edge length.
+matches the lattice CELL spacing to the median element edge length (the
+doubled-lattice node pitch is then half an edge length).
 
 Reference context: the reference solves arbitrary gmsh meshes with SuperLU
 (ReactionSolver.py:201) — impossible at 1M DOF. femx's block-Jacobi PCG
@@ -220,7 +221,9 @@ class LatticePreconditioner:
         hi = pts.max(axis=0)
         span = np.where(hi - lo > 0, hi - lo, 1.0)
         if cells_per_axis is None:
-            # match lattice half-spacing to the median element edge length
+            # match lattice CELL SPACING to the median element edge length
+            # (so the lattice half-spacing — the doubled-lattice node pitch —
+            # is h_el/2)
             e01 = np.linalg.norm(pts[conn[:, 1]] - pts[conn[:, 0]], axis=1)
             h_el = np.median(e01)
             cells_per_axis = tuple(

@@ -128,11 +128,18 @@ def test_halo_comm_is_plane_sized():
     u_st = jnp.asarray(halo.scatter(np.ones(st.ndof)))
     hlo = fn.lower(u_st).compile().as_text()
     assert "collective-permute" in hlo
-    assert "all-reduce" not in hlo.replace("all-reduce-start", "")  \
-        or True  # all-reduce may appear for scalars only; checked below
     import re
-    # every collective payload must be <= plane size (plus slack), never volume
-    for m in re.finditer(r"(collective-permute|all-gather|all-reduce)[^=]*=\s*\S*\s*f64\[([\d,]*)\]", hlo):
-        dims = [int(v) for v in m.group(2).split(",") if v]
+    # Every collective payload must be <= plane size (plus slack), never
+    # volume-sized — dtype-agnostic (f32/f64/bf16/...) so the check still
+    # bites if the solver precision changes, and it must actually MATCH
+    # something (a silent zero-match would assert nothing).
+    # compiled-HLO statement shape: `%name = f64[243]{0} collective-permute(...)`
+    pat = re.compile(
+        r"=\s*\(?\s*[a-z0-9]+\[([\d,]*)\][^=\n]*"
+        r"\b(collective-permute|all-gather|all-reduce)")
+    matches = list(pat.finditer(hlo))
+    assert matches, "HLO collective scan matched nothing — pattern is stale"
+    for m in matches:
+        dims = [int(v) for v in m.group(1).split(",") if v]
         n = int(np.prod(dims)) if dims else 1
         assert n <= plane_elems * 2, (m.group(0)[:120], n)
