@@ -638,10 +638,21 @@ class SolidReactionAnalysis:
         solid_report(self, filename)
         self._log("   - Report generation complete.")
 
-    def plot(self, factor: float = 1.0, show_window: bool = True, filename: str = "fem_result.png"):
+    def plot(self, factor: float = 1.0, show_window: bool = True,
+             filename: str = "fem_result.png", color: str = "disp"):
         from femx.viz import plot_solid_results
 
-        return plot_solid_results(self, factor=factor, show_window=show_window, filename=filename)
+        return plot_solid_results(self, factor=factor, show_window=show_window,
+                                  filename=filename, color=color)
+
+    def export_html(self, filename: str = "fem_result.html",
+                    factor: float = 1.0) -> str:
+        """Standalone interactive WebGL viewer (femx.viz_html) — the
+        headless-environment answer to the reference's interactive PyVista
+        window (ReactionSolver.py:234-294)."""
+        from femx.viz_html import export_solid_html
+
+        return export_solid_html(self, filename, factor=factor)
 
 
 # Reference-compatible alias (ReactionSolver.py:16).

@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reproduce the reference's w=1/4 Tet10 weight")
     so.add_argument("--report", default=None)
     so.add_argument("--plot", default=None, help="save result view PNG")
+    so.add_argument("--stress", action="store_true",
+                    help="recover nodal stresses; prints the von Mises max "
+                         "and adds a stress section to --report")
+    so.add_argument("--plot-color", choices=["disp", "von_mises"],
+                    default="disp", help="--plot coloring field")
+    so.add_argument("--html", default=None,
+                    help="export standalone interactive WebGL viewer")
     so.add_argument("--modal", type=int, default=0, metavar="N",
                     help="also compute the first N natural frequencies "
                          "(shift-invert Lanczos, HRZ-lumped mass)")
@@ -184,6 +191,13 @@ def main(argv=None) -> int:
         fa = SolidReactionAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
                                    compat=compat, solver=args.solver)
         fa.run_simulation(report=False)
+        if args.stress:
+            import numpy as np
+
+            _, vm = fa.compute_stresses()
+            imax = int(np.argmax(vm))
+            print(f"Max von Mises stress: {vm[imax] / 1e6:.4f} MPa at node "
+                  f"{imax} {tuple(np.round(fa.points[imax], 6))}")
         if args.modal:
             import numpy as np
 
@@ -191,11 +205,16 @@ def main(argv=None) -> int:
             hz = np.asarray(res.omega) / (2 * np.pi)
             print("Natural frequencies [Hz]: "
                   + ", ".join(f"{f:.4f}" for f in hz))
-        if args.report:  # after modal so the report can include it
+        if args.report:  # after stress/modal so the report includes them
             fa.generate_report(args.report)
         if args.plot:
-            fa.plot(show_window=False, filename=args.plot)
+            fa.plot(show_window=False, filename=args.plot,
+                    color="von_mises" if args.plot_color == "von_mises"
+                    else "disp")
             print(f"Saved result view to {args.plot}")
+        if args.html:
+            out = fa.export_html(args.html)
+            print(f"Saved interactive viewer to {out}")
         return 0
 
     if args.cmd == "beam":

@@ -1,4 +1,4 @@
-"""Analysis report generation (Markdown native; .docx when python-docx exists).
+"""Analysis report generation (Markdown native; real .docx always).
 
 Reference parity: the reference emits two Word reports —
 `ReportGenerator.create_report` for the solid pipeline
@@ -7,9 +7,10 @@ Jacobian quality check, reaction table with total) and
 `BeamAnalysisWindow.create_report` for the beam pipeline
 (BeamSolver.py:483-560: mesh stats, material, BC table, static plot,
 per-node displacement/stress table, modal table first 10, first-5 mode
-plots). femx reproduces both layouts; python-docx is absent in this
-environment, so Markdown (with embedded PNG references) is the native
-format and .docx is produced when the library is importable.
+plots). femx reproduces both layouts. Markdown (with embedded PNG
+references) is the native format; `.docx` output uses python-docx when
+importable and otherwise femx's vendored minimal OOXML writer
+(femx.docx_writer) — a real Word file is produced either way.
 """
 
 from __future__ import annotations
@@ -99,6 +100,23 @@ def solid_report(analysis, filename: str = "FEM_Report.md", image: bool = True) 
             "\nNote: for static equilibrium the Total Reaction equals the "
             "negative of the summed applied forces."
         )
+    vm = getattr(analysis, "nodal_von_mises", None)
+    if vm is not None:
+        # femx extension: the reference's solid report stops at reactions;
+        # its BEAM product does report stresses (BeamSolver.py:420-438), so
+        # the solid product should not be weaker. Nodal-averaged von Mises
+        # summary + the highest-stressed nodes.
+        vm = np.asarray(vm)
+        lines.append("\n## Stress Results (von Mises, nodal-averaged)\n")
+        imax = int(np.argmax(vm))
+        p = analysis.points[imax]
+        lines.append(f"- **Max von Mises stress:** {vm.max() / 1e6:.4f} MPa "
+                     f"at node {imax} ({p[0]:.4g}, {p[1]:.4g}, {p[2]:.4g})")
+        lines.append(f"- **Mean von Mises stress:** {vm.mean() / 1e6:.4f} MPa\n")
+        lines.append("| Rank | Node ID | von Mises (MPa) |")
+        lines.append("|---|---|---|")
+        for rank, n in enumerate(np.argsort(vm)[::-1][:5]):
+            lines.append(f"| {rank + 1} | {int(n)} | {vm[n] / 1e6:.4f} |")
     modal = getattr(analysis, "modal_result", None)
     if modal is not None:
         # femx extension: the reference's solid product has no modal output
@@ -119,11 +137,9 @@ def solid_report(analysis, filename: str = "FEM_Report.md", image: bool = True) 
             lines.append(f"- **t_{k}:** {v:.3f} s")
 
     text = "\n".join(lines) + "\n"
-    if filename.endswith(".docx") and DOCX_AVAILABLE:
+    if filename.endswith(".docx"):
         _markdown_ish_to_docx(text, filename)
     else:
-        if filename.endswith(".docx"):
-            filename = os.path.splitext(filename)[0] + ".md"
         with open(filename, "w") as f:
             f.write(text)
     return filename
@@ -216,20 +232,26 @@ def beam_report(
             lines.append(f"_Mode plots unavailable: {e}_")
 
     text = "\n".join(lines) + "\n"
-    if filename.endswith(".docx") and DOCX_AVAILABLE:
+    if filename.endswith(".docx"):
         _markdown_ish_to_docx(text, filename)
     else:
-        if filename.endswith(".docx"):
-            filename = os.path.splitext(filename)[0] + ".md"
         with open(filename, "w") as f:
             f.write(text)
     return filename
 
 
 def _markdown_ish_to_docx(text: str, filename: str) -> None:
-    """Minimal Markdown -> docx renderer (headings, bullets, tables, images)."""
-    from docx import Document
-    from docx.shared import Inches
+    """Minimal Markdown -> docx renderer (headings, bullets, tables, images).
+
+    Uses python-docx when installed; otherwise femx's vendored OOXML writer
+    (femx.docx_writer), which implements the same API subset — a real .docx
+    is produced either way (the reference's report artifacts are .docx,
+    ReactionSolver.py:309-431)."""
+    if DOCX_AVAILABLE:
+        from docx import Document
+        from docx.shared import Inches
+    else:
+        from femx.docx_writer import Document, Inches
 
     doc = Document()
     table_buf: List[List[str]] = []

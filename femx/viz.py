@@ -125,11 +125,17 @@ def plot_solid_results(
     factor: float = 1.0,
     show_window: bool = False,
     filename: str = "fem_result.png",
+    color: str = "disp",
 ):
-    """Deformed-shape view with |u| coloring + fixed/loaded node markers.
+    """Deformed-shape view with nodal-field coloring + fixed/loaded markers.
 
     Functional equivalent of ForceAnalysis.plot (ReactionSolver.py:234-294),
     rendered with matplotlib (VTK-free environment). Off-screen by default.
+
+    color: "disp" colors by |u| (the reference's view); "von_mises" colors
+    by the nodal-averaged von Mises stress (computed via
+    analysis.compute_stresses() on demand — femx extension, the solid
+    product should not report less than the beam one, BeamSolver.py:420-438).
     """
     if analysis.u is None:
         return None
@@ -137,13 +143,23 @@ def plot_solid_results(
     disp = analysis.u.reshape(-1, 3)
     if not np.all(np.isfinite(disp)):
         disp = np.nan_to_num(disp)
-    mag = np.linalg.norm(disp, axis=1)
+    if color == "von_mises":
+        vm = getattr(analysis, "nodal_von_mises", None)
+        if vm is None:
+            _, vm = analysis.compute_stresses()
+        mag = np.nan_to_num(np.asarray(vm))
+        field_label = "von Mises stress (Pa)"
+        title = "Deformed Shape (von Mises)"
+    else:
+        mag = np.linalg.norm(disp, axis=1)
+        field_label = "|u| (m)"
+        title = "Deformed Shape (Magnitude)"
     warped = pts + factor * disp
 
     tris = _surface_triangles(analysis.tetra10_conn)
     fig = plt.figure(figsize=(10, 7.5))
     ax = fig.add_subplot(111, projection="3d")
-    ax.set_title(f"Deformed Shape (Magnitude) | Warp Factor: {factor}x", fontsize=12)
+    ax.set_title(f"{title} | Warp Factor: {factor}x", fontsize=12)
 
     tri_pts = warped[tris]
     tri_mag = mag[tris].mean(axis=1)
@@ -181,7 +197,7 @@ def plot_solid_results(
 
     m = plt.cm.ScalarMappable(cmap=cmap)
     m.set_array(mag)
-    fig.colorbar(m, ax=ax, shrink=0.6, label="|u| (m)")
+    fig.colorbar(m, ax=ax, shrink=0.6, label=field_label)
     if show_window:
         plt.show()
     else:
