@@ -130,6 +130,7 @@ class SolidReactionAnalysis:
         solver: str = "auto",
         cg_tol: float = 1e-10,
         verbose: bool = True,
+        devices: Optional[int] = None,
     ):
         self.msh_file = msh_file
         self.force_data = list(force_data)
@@ -141,6 +142,10 @@ class SolidReactionAnalysis:
         self.solver = solver
         self.cg_tol = cg_tol
         self.verbose = verbose
+        # devices > 1 routes structured meshes through the z-slab-distributed
+        # halo MG-PCG (femx.parallel.driver) — multi-chip with the same
+        # one-call ergonomics as the reference's run_simulation
+        self.devices = devices
 
         self.pd = 3
         self.u: Optional[np.ndarray] = None
@@ -244,6 +249,10 @@ class SolidReactionAnalysis:
         self._log("4. Solving the linear system...")
         t0 = time.perf_counter()
         ndof = 3 * self.num_nodes
+        if self._structured and (self.devices or 0) > 1:
+            if self._solve_distributed():
+                self.stage_times["solve"] = time.perf_counter() - t0
+                return
         if self._structured:
             dtype = self.operator.Kcell.dtype
             # structured operator runs in its internal phase-major layout
@@ -433,6 +442,44 @@ class SolidReactionAnalysis:
         self._log("   - System solved.")
         self.reaction_forces = np.asarray(op.apply(jnp.asarray(self.u)))
         self.stage_times["solve"] = time.perf_counter() - t0
+
+    def _solve_distributed(self) -> bool:
+        """z-slab-distributed structured solve through the public pipeline
+        (femx.parallel.driver). Returns False (with a log line) when the
+        lattice cannot be slab-distributed so solve() falls back to the
+        single-device path."""
+        info_s = self.mesh.structured
+        mask_g = np.asarray(self.constraints.free_mask(), dtype=np.float64)
+        dtype = np.dtype(self.operator.Kcell.dtype).type
+        try:
+            from femx.parallel.driver import distributed_structured_solve
+
+            u, dinfo = distributed_structured_solve(
+                info_s.n_cells, info_s.spacing, self.E, self.v,
+                mask_g, np.asarray(self.f, dtype=np.float64),
+                weight=self.weight, dtype=dtype, tol=self.cg_tol,
+                devices=self.devices,
+            )
+        except ValueError as e:
+            self._log(f"   - Distributed solve unavailable ({e}); "
+                      "using the single-device path.")
+            return False
+        self.u = u
+        self.solve_info = dinfo
+        self._log(f"   - System solved on {dinfo['devices']} devices "
+                  f"({dinfo['method']}).")
+        # reactions through the single-device operator at solution precision
+        op = self.operator.with_free_mask(
+            self.operator.to_internal(mask_g).astype(
+                np.dtype(self.operator.Kcell.dtype)))
+        self.operator = op
+        r_op = op.astype(np.asarray(u).dtype)
+        self.reaction_forces = r_op.to_global(
+            np.asarray(r_op.apply(jnp.asarray(r_op.to_internal(u)))))
+        # keep a preconditioner for modal() parity with the single-chip path
+        self._precond = ("st_bj", [jnp.asarray(b)
+                                   for b in op.block_jacobi_tensors()])
+        return True
 
     def compute_stresses(self):
         """Per-node averaged stress tensors + von Mises field (postprocess).

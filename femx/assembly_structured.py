@@ -37,21 +37,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _material_matrix_np(E_mod, nu) -> np.ndarray:
+    """Numpy mirror of elements.tet10.material_matrix (f64)."""
+    E_, v_ = float(E_mod), float(nu)
+    c1 = E_ / ((1 + v_) * (1 - 2 * v_))
+    C = np.full((3, 3), v_)
+    np.fill_diagonal(C, 1 - v_)
+    out = np.zeros((6, 6))
+    out[:3, :3] = C
+    out[3, 3] = out[4, 4] = out[5, 5] = (1 - 2 * v_) / 2
+    return c1 * out
+
+
 def _cell_stiffness(spacing, E_mod, nu, weight, dtype) -> np.ndarray:
     """Exact (81, 81) stiffness of one structured cell (6 Tet10 elements),
-    in raster order of the 27 cell-local lattice slots x 3 components."""
-    from femx.assembly import SolidOperator, assemble_dense, dof_map
-    from femx.config import host_compute
-    from femx.elements.tet10 import material_matrix
+    in raster order of the 27 cell-local lattice slots x 3 components.
+
+    Pure host numpy (mirrors elements.tet10.element_stiffness in f64):
+    routing this one-cell computation through jax triggered ~120 small
+    setup-stage compiles, measured at ~4 s of the multigrid setup at
+    1.39M DOF — for arrays this size numpy einsum is microseconds."""
+    from femx.elements.tet10 import DN_NATURAL, _SEL
     from femx.mesh.generators import box_tet10
 
     hx, hy, hz = spacing
     cell = box_tet10(hx, hy, hz, mesh_size=max(spacing) * 1.01)
     assert cell.num_nodes == 27, cell.num_nodes
-    with host_compute():  # tiny f64 math; avoid a remote TPU compile
-        C = material_matrix(float(E_mod), float(nu), dtype=jnp.float64)
-        op, _ = SolidOperator.from_mesh(cell.points, cell.cells["tetra10"], C, weight=weight)
-        K = np.asarray(assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 81))
+    pts = np.asarray(cell.points, dtype=np.float64)
+    conn = np.asarray(cell.cells["tetra10"])  # (6, 10)
+    C = _material_matrix_np(E_mod, nu)
+    chat = np.einsum("ack,ab,bdl->ckdl", _SEL, C, _SEL)
+    coords = pts[conn]  # (6, 10, 3)
+    J = np.einsum("gkn,enc->egkc", DN_NATURAL, coords)
+    Jinv = np.linalg.inv(J)
+    detJ = np.linalg.det(J)
+    dN = np.einsum("egkc,gcn->egkn", Jinv, DN_NATURAL)
+    wdet = np.where(detJ > 1e-12, detJ, 0.0)
+    ke = np.einsum("egki,ckdl,eglj,eg->eicjd", dN, chat, dN,
+                   float(weight) * wdet).reshape(6, 30, 30)
+    edof = (3 * conn[:, :, None] + np.arange(3)).reshape(6, 30)
+    K = np.zeros((81, 81))
+    np.add.at(K, (edof[:, :, None], edof[:, None, :]), ke)
     K = 0.5 * (K + K.T)  # enforce exact symmetry before low-precision cast
     return K.astype(dtype)
 
@@ -59,6 +85,19 @@ def _cell_stiffness(spacing, E_mod, nu, weight, dtype) -> np.ndarray:
 # The 27 cell-local slots in raster order (a-major), a,b,c in {0,1,2}:
 # lattice position = cell*2 + (a,b,c). Slot s = 9a + 3b + c.
 _SLOTS = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
+
+
+def _inv3x3_np(A: np.ndarray) -> np.ndarray:
+    """Vectorized closed-form 3x3 inverse (cofactor columns) for (N, 3, 3).
+
+    np.linalg.inv loops LAPACK per matrix — measured 3.2 s for the 463k
+    nodal blocks of the 1.39M-DOF flagship vs ~20 ms for this."""
+    a, b, c = A[..., 0, :], A[..., 1, :], A[..., 2, :]
+    cb = np.cross(b, c)
+    ca = np.cross(c, a)
+    ab = np.cross(a, b)
+    det = np.einsum("...i,...i->...", a, cb)
+    return np.stack([cb, ca, ab], axis=-1) / det[..., None, None]
 
 
 def _cell_lumped_mass(spacing, rho) -> np.ndarray:
@@ -110,6 +149,13 @@ class StructuredSolidOperator:
     weight: float
     free_mask: Optional[jnp.ndarray] = None  # internal layout
     spacing: Optional[Tuple[float, float, float]] = None  # cell spacing (mass)
+    # Optional per-z-layer cell weight (nz,): cell layer k contributes
+    # z_weight[k] * Kcell. Used by the ghost-padded distributed solve
+    # (femx.parallel.driver) to make padded cell layers contribute ZERO
+    # stiffness — masking padded NODES alone is not enough, because a padded
+    # cell still couples the free nodes of the shared boundary plane to each
+    # other. 0/1-valued in practice; None means all-ones.
+    z_weight: Optional[jnp.ndarray] = None
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -300,15 +346,20 @@ class StructuredSolidOperator:
     def _join_phases(self, grids: List[jnp.ndarray]) -> jnp.ndarray:
         return jnp.concatenate([g.reshape(-1) for g in grids])
 
-    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, u: jnp.ndarray, z_weight=None) -> jnp.ndarray:
         """K @ u (internal layout).
+
+        z_weight overrides self.z_weight (per-z-layer cell weights) — the
+        halo path passes each device's slab slice explicitly.
 
         Set FEMX_PALLAS_APPLY=1 to route the gather+matmul stage through the
         fused Pallas kernel (femx.elements.pallas_structured; measured at
         parity with this XLA formulation on v5e — kept opt-in)."""
         import os
 
-        if os.environ.get("FEMX_PALLAS_APPLY") == "1" and jax.default_backend() != "cpu":
+        zw = self.z_weight if z_weight is None else z_weight
+        if (os.environ.get("FEMX_PALLAS_APPLY") == "1" and zw is None
+                and jax.default_backend() != "cpu"):
             from femx.elements.pallas_structured import (
                 apply_structured_pallas,
                 ensure_tpu_compile_env,
@@ -333,6 +384,8 @@ class StructuredSolidOperator:
         fe = jax.lax.dot(
             self.Kcell, ue, precision=jax.lax.Precision.HIGHEST
         ).reshape(27, 3, nx, ny, nz)
+        if zw is not None:
+            fe = fe * jnp.asarray(zw, dtype=fe.dtype)
         return self._join_phases(self._overlap_add(fe, phases))
 
     def _overlap_add(self, fe: jnp.ndarray, phases: List[jnp.ndarray]):
@@ -408,12 +461,17 @@ class StructuredSolidOperator:
         seconds through the axon relay)."""
         nx, ny, nz = self.n_cells
         Kc = self.Kcell_host.reshape(27, 3, 27, 3)
+        zw = None if self.z_weight is None else np.asarray(self.z_weight,
+                                                           dtype=np.float64)
         shapes = self._phase_shapes()
         grids = [np.zeros((s[0], s[1], s[2], 3, 3), dtype=Kc.dtype) for s in shapes]
         for s, (a, b, c) in enumerate(_SLOTS):
             pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
             ia, jb, kc = a // 2, b // 2, c // 2
-            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += Kc[s, :, s, :]
+            contrib = Kc[s, :, s, :]
+            if zw is not None:
+                contrib = zw[None, None, :, None, None] * contrib
+            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += contrib
         return np.concatenate([g.reshape(-1, 3, 3) for g in grids])
 
     def diagonal(self) -> jnp.ndarray:
@@ -443,12 +501,14 @@ class StructuredSolidOperator:
             raise ValueError("operator has no spacing metadata (needed for mass)")
         nx, ny, nz = self.n_cells
         mcell = _cell_lumped_mass(self.spacing, rho)  # (27,)
+        zw = (1.0 if self.z_weight is None
+              else np.asarray(self.z_weight, dtype=np.float64))
         shapes = self._phase_shapes()
         grids = [np.zeros(s) for s in shapes]
         for s_idx, (a, b, c) in enumerate(_SLOTS):
             pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
             ia, jb, kc = a // 2, b // 2, c // 2
-            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += mcell[s_idx]
+            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += mcell[s_idx] * zw
         parts = [np.broadcast_to(g, (3,) + g.shape).reshape(-1) for g in grids]
         return np.concatenate(parts)
 
@@ -473,7 +533,7 @@ class StructuredSolidOperator:
             blk *= m[:, :, None] * m[:, None, :]
             blk += (1.0 - m)[:, :, None] * np.eye(3, dtype=bd.dtype)
             node_pos += cnt
-        binv = np.linalg.inv(masked)  # (n_nodes, 3, 3), host, once
+        binv = _inv3x3_np(masked)  # (n_nodes, 3, 3), host, once
         out = []
         node_pos = 0
         for s in shapes:
@@ -513,17 +573,18 @@ class StructuredSolidOperator:
 
 
 def _structured_op_flatten(op: StructuredSolidOperator):
-    children = (op.Kcell, op.free_mask)
+    children = (op.Kcell, op.free_mask, op.z_weight)
     aux = (op.n_cells, op.grid_shape, op.weight, op.spacing)
     return children, aux
 
 
 def _structured_op_unflatten(aux, children):
-    Kcell, free_mask = children
+    Kcell, free_mask, z_weight = children
     n_cells, grid_shape, weight, spacing = aux
     op = object.__new__(StructuredSolidOperator)
     object.__setattr__(op, "Kcell", Kcell)
     object.__setattr__(op, "free_mask", free_mask)
+    object.__setattr__(op, "z_weight", z_weight)
     object.__setattr__(op, "n_cells", n_cells)
     object.__setattr__(op, "grid_shape", grid_shape)
     object.__setattr__(op, "weight", weight)

@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default="disp", help="--plot coloring field")
     so.add_argument("--html", default=None,
                     help="export standalone interactive WebGL viewer")
+    so.add_argument("--devices", type=int, default=None, metavar="N",
+                    help="solve structured meshes z-slab-distributed over N "
+                         "devices (halo MG-PCG; falls back to single-device "
+                         "when the lattice cannot be slab-decomposed)")
     so.add_argument("--modal", type=int, default=0, metavar="N",
                     help="also compute the first N natural frequencies "
                          "(shift-invert Lanczos, HRZ-lumped mass)")
@@ -189,7 +193,8 @@ def main(argv=None) -> int:
             return 2
         compat = ReferenceCompat(tet10_quadrature_weight_bug=args.compat_quadrature_bug)
         fa = SolidReactionAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
-                                   compat=compat, solver=args.solver)
+                                   compat=compat, solver=args.solver,
+                                   devices=args.devices)
         fa.run_simulation(report=False)
         if args.stress:
             import numpy as np

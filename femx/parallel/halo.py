@@ -78,6 +78,10 @@ class HaloStructuredOperator:
             n_cells=(nx, ny, self.nzl),
             grid_shape=(self.op.grid_shape[0], self.op.grid_shape[1], 2 * self.nzl + 1),
             free_mask=None,
+            # per-device slab weights are threaded explicitly through
+            # apply_local (a closed-over full-length z_weight would be the
+            # wrong shape for the slab apply)
+            z_weight=None,
         )
         # share the host cell-matrix mirror (avoids device readbacks at setup)
         object.__setattr__(self.local, "_Kcell_host", self.op.Kcell_host)
@@ -178,15 +182,26 @@ class HaloStructuredOperator:
             out[i] = out[i].at[..., -1].set(ghost)
         return out
 
-    def apply_local(self, u_loc: jnp.ndarray) -> jnp.ndarray:
-        """K @ u on a slab-local vector (ghost-consistent in and out)."""
-        f = self.local.apply(u_loc)
+    def apply_local(self, u_loc: jnp.ndarray, z_weight_loc=None) -> jnp.ndarray:
+        """K @ u on a slab-local vector (ghost-consistent in and out).
+
+        z_weight_loc: this device's (nzl,) slab slice of the operator's
+        per-z-layer cell weights (ghost-padding support), or None."""
+        f = self.local.apply(u_loc, z_weight=z_weight_loc)
         phases = self.local._split_phases(f)
         return self.local._join_phases(self._halo_reduce_and_sync(phases))
 
-    def apply_constrained_local(self, u_loc, mask_loc) -> jnp.ndarray:
-        v = self.apply_local(u_loc * mask_loc) * mask_loc
+    def apply_constrained_local(self, u_loc, mask_loc, z_weight_loc=None) -> jnp.ndarray:
+        v = self.apply_local(u_loc * mask_loc, z_weight_loc) * mask_loc
         return v + u_loc * (1.0 - mask_loc)
+
+    def z_weight_stacked(self):
+        """(ndev, nzl) per-device slab slices of op.z_weight, or None."""
+        if self.op.z_weight is None:
+            return None
+        zw = np.asarray(self.op.z_weight)
+        return np.stack([zw[d * self.nzl:(d + 1) * self.nzl]
+                         for d in range(self.ndev)])
 
     # -- block-Jacobi on local vectors ----------------------------------------
     def block_jacobi_stacked(self) -> List[np.ndarray]:
@@ -269,6 +284,9 @@ def pcg_halo(
     f_st = jnp.asarray(halo.scatter(np.asarray(f_internal)).astype(dt))
     w_st = jnp.asarray(halo.ownership_weights().astype(dt))
     m_st = jnp.asarray(halo.mask_stacked().astype(dt))
+    zw = halo.z_weight_stacked()
+    zw_st = jnp.asarray((np.ones((halo.ndev, halo.nzl)) if zw is None
+                         else zw).astype(dt))
     if x0_internal is None:
         x0_st = jnp.zeros_like(f_st)
     else:
@@ -286,13 +304,13 @@ def pcg_halo(
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
-    def kernel(f_b, w_b, m_b, x0_b, *extra_b):
-        f_loc, w, mask, x = f_b[0], w_b[0], m_b[0], x0_b[0]
+    def kernel(f_b, w_b, m_b, zw_b, x0_b, *extra_b):
+        f_loc, w, mask, zw_loc, x = f_b[0], w_b[0], m_b[0], zw_b[0], x0_b[0]
         extra_loc = jax.tree.map(lambda a: a[0], extra_b)
         minv = make_minv(*extra_loc)
 
         def A(v):
-            return halo.apply_constrained_local(v, mask)
+            return halo.apply_constrained_local(v, mask, zw_loc)
 
         def dot(a, b):
             return jax.lax.psum(jnp.vdot(a * w, b), axis)
@@ -331,12 +349,12 @@ def pcg_halo(
         return x[None], k, res
 
     spec = P(axis)
-    in_specs = (spec, spec, spec, spec) + tuple(
+    in_specs = (spec, spec, spec, spec, spec) + tuple(
         jax.tree.map(lambda _: spec, e) for e in extra
     )
     fn = jax.shard_map(kernel, mesh=mesh, in_specs=in_specs,
                        out_specs=(spec, P(), P()))
-    x_st, k, res = jax.jit(fn)(f_st, w_st, m_st, x0_st, *extra)
+    x_st, k, res = jax.jit(fn)(f_st, w_st, m_st, zw_st, x0_st, *extra)
     x_full = halo.gather(np.asarray(x_st))
     return x_full, int(k), float(res), bool(res <= tol)
 
@@ -419,7 +437,7 @@ class DistributedMultigrid:
         return jnp.concatenate(parts)
 
     def _vcycle_local(self, k: int, b_loc: jnp.ndarray, ctx) -> jnp.ndarray:
-        masks, minvs = ctx
+        masks, minvs, zws = ctx
         halo = self.halos[k]
         mg = self.mg
         om = mg.omegas[k]
@@ -427,7 +445,12 @@ class DistributedMultigrid:
         minv = minvs[k]
 
         def A(v):
-            return halo.apply_constrained_local(v, mask)
+            # zws[k] threads ghost-padding cell weights (level 0 only):
+            # smoothing with the UNWEIGHTED apply against the WEIGHTED
+            # block-Jacobi diagonal under-damps the shared boundary plane
+            # and turns the V-cycle indefinite (measured: CG rz>0 guard
+            # tripped at iteration 1 on a padded lattice)
+            return halo.apply_constrained_local(v, mask, zws[k])
 
         def smooth(x, b, sweeps):
             for _ in range(sweeps):
@@ -484,17 +507,22 @@ class DistributedMultigrid:
             [jnp.asarray(b.astype(dt)) for b in h.block_jacobi_stacked()]
             for h in self.halos
         ]
+        zw_st = [
+            jnp.asarray((np.ones((h.ndev, h.nzl)) if h.z_weight_stacked() is None
+                         else h.z_weight_stacked()).astype(dt))
+            for h in self.halos
+        ]
 
         def factory(_halo):
-            def make_minv(masks_loc, binv_loc):
+            def make_minv(masks_loc, binv_loc, zw_loc):
                 minvs = [h.minv_local(bl) for h, bl in zip(self.halos, binv_loc)]
-                ctx = (masks_loc, minvs)
+                ctx = (masks_loc, minvs, zw_loc)
 
                 def apply_minv(r_loc):
                     return self._vcycle_local(0, r_loc, ctx)
 
                 return apply_minv
 
-            return make_minv, (masks_st, binv_st)
+            return make_minv, (masks_st, binv_st, zw_st)
 
         return factory

@@ -55,14 +55,21 @@ class LatticeTransfer:
     """Trilinear P (lattice internal layout <-> mesh nodes) as gather data.
 
     Forward (interpolate): u3[i, c] = sum_p w[p, i] * latt_phase_p[c, idx[p, i]]
-    Transpose: per phase, padded-ELL over lattice nodes:
-        y_p[c, l] = sum_d wT[p][l, d] * r3[idxT[p][l, d], c]
+    Transpose: per phase, DEGREE-BUCKETED dense row gathers (the TG
+    operator's transpose recipe, assembly_tg.py): lattice nodes grouped by
+    incidence count d get one (n_d, d) gather + sum with ZERO padding
+    waste, then one (cnt_p,)-row gather reorders bucket output back to
+    phase order. The previous padded-ELL formulation gathered
+    cnt_p * max_d rows — measured 50 ms of the 97 ms unstructured
+    iteration at 1.39M DOF (vs ~13 ms bucketed: row-gather cost is
+    per-index, and ELL padding was >4x the real entries).
     """
 
     idx: jnp.ndarray  # (8, N) int32 — per-phase flat node index within phase
     w: jnp.ndarray  # (8, N) weights
-    idxT: List[jnp.ndarray]  # per phase (cnt_p, D_p) int32 mesh-node ids
-    wT: List[jnp.ndarray]  # per phase (cnt_p, D_p) weights (0 = padding)
+    bucket_idx: List[List[jnp.ndarray]]  # per phase: [(n_d, d) mesh rows]
+    bucket_w: List[List[jnp.ndarray]]  # per phase: [(n_d, d) weights]
+    perm_back: List[jnp.ndarray]  # per phase (cnt_p,) bucket-order -> phase
     phase_counts: Tuple[int, ...]  # nodes per phase (internal layout order)
 
     def interpolate(self, e_int: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
@@ -81,10 +88,16 @@ class LatticeTransfer:
         r3 = r.reshape(-1, 3)
         parts = []
         for p, cnt in enumerate(self.phase_counts):
-            acc = 0.0
-            for d in range(self.idxT[p].shape[1]):
-                acc = acc + self.wT[p][:, d : d + 1] * r3[self.idxT[p][:, d]]
-            parts.append(acc.T.reshape(-1))  # (3*cnt,) component-major
+            chunks = []
+            for bi, bw in zip(self.bucket_idx[p], self.bucket_w[p]):
+                if bi.shape[1] == 0:
+                    chunks.append(jnp.zeros((bi.shape[0], 3), dtype=r3.dtype))
+                else:
+                    # (n_d, d, 3) row gather, weighted sum over incidences
+                    chunks.append(
+                        (bw[..., None].astype(r3.dtype) * r3[bi]).sum(axis=1))
+            sorted_out = jnp.concatenate(chunks)  # (cnt, 3) in bucket order
+            parts.append(sorted_out[self.perm_back[p]].T.reshape(-1))
         return jnp.concatenate(parts)
 
 
@@ -136,29 +149,42 @@ def build_lattice_transfer(
                 idx[p, np.arange(N)] = flat
                 w[p, np.arange(N)] = wx * wy * wz
 
-    # transpose structure: per phase, ELL over lattice nodes (vectorized)
+    # transpose structure: per phase, lattice nodes bucketed by incidence
+    # count (degree) -> dense (n_d, d) gathers with zero padding waste
     dt = np.dtype(dtype)
-    idxT, wT = [], []
+    bucket_idx, bucket_w, perm_back = [], [], []
     for p in range(8):
         cnt = n_phase_nodes[p]
         order = np.argsort(idx[p], kind="stable")
-        dst = idx[p][order]
+        dst = idx[p][order]  # ascending lattice-node ids
         counts = np.bincount(dst, minlength=cnt)
-        D = max(1, int(counts.max()))
-        starts = np.zeros(cnt + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        pos_in_group = np.arange(len(dst)) - starts[dst]
-        eidx = np.zeros((cnt, D), dtype=np.int64)
-        ew = np.zeros((cnt, D))
-        eidx[dst, pos_in_group] = order
-        ew[dst, pos_in_group] = w[p][order]
-        idxT.append(jnp.asarray(eidx.astype(np.int32)))
-        wT.append(jnp.asarray(ew.astype(dt)))
+        node_rank = np.argsort(np.argsort(counts, kind="stable"),
+                               kind="stable")  # phase node -> bucket position
+        # reorder incidences so equal-degree destination nodes are contiguous
+        order_b = order[np.argsort(node_rank[dst], kind="stable")]
+        counts_sorted = np.sort(counts, kind="stable")
+        b_idx, b_w = [], []
+        pos = 0
+        for d in np.unique(counts_sorted):
+            n_d = int((counts_sorted == d).sum())
+            d = int(d)
+            if d == 0:
+                b_idx.append(jnp.zeros((n_d, 0), dtype=jnp.int32))
+                b_w.append(jnp.zeros((n_d, 0), dtype=dt))
+            else:
+                rows = order_b[pos : pos + n_d * d].reshape(n_d, d)
+                b_idx.append(jnp.asarray(rows.astype(np.int32)))
+                b_w.append(jnp.asarray(w[p][rows].astype(dt)))
+                pos += n_d * d
+        bucket_idx.append(b_idx)
+        bucket_w.append(b_w)
+        perm_back.append(jnp.asarray(node_rank.astype(np.int32)))
     return LatticeTransfer(
         idx=jnp.asarray(idx.astype(np.int32)),
         w=jnp.asarray(w.astype(dt)),
-        idxT=idxT,
-        wT=wT,
+        bucket_idx=bucket_idx,
+        bucket_w=bucket_w,
+        perm_back=perm_back,
         phase_counts=tuple(n_phase_nodes),
     )
 
@@ -333,12 +359,19 @@ def _lp_unflatten(aux, children):
 
 
 def _transfer_flatten(t: LatticeTransfer):
-    return (t.idx, t.w, tuple(t.idxT), tuple(t.wT)), (t.phase_counts,)
+    children = (t.idx, t.w,
+                tuple(tuple(b) for b in t.bucket_idx),
+                tuple(tuple(b) for b in t.bucket_w),
+                tuple(t.perm_back))
+    return children, (t.phase_counts,)
 
 
 def _transfer_unflatten(aux, children):
-    idx, w, idxT, wT = children
-    return LatticeTransfer(idx=idx, w=w, idxT=list(idxT), wT=list(wT),
+    idx, w, bucket_idx, bucket_w, perm_back = children
+    return LatticeTransfer(idx=idx, w=w,
+                           bucket_idx=[list(b) for b in bucket_idx],
+                           bucket_w=[list(b) for b in bucket_w],
+                           perm_back=list(perm_back),
                            phase_counts=aux[0])
 
 

@@ -187,8 +187,13 @@ class StructuredMultigrid:
         # Keep the coarsest dense factor small: it is closed over by the
         # jitted V-cycle and embedded in the compiled program (an 8k-DOF
         # factor is a 250 MB constant — measured to overflow the remote
-        # compiler's request limit). A deeper hierarchy costs ~1 iteration.
-        coarse_dof_limit: int = 4000,
+        # compiler's request limit), and its host inverse is the single
+        # most expensive setup step. Measured on the 24x24x96 flagship:
+        # limit 4000 -> 3675-DOF coarse, 13 CG iters, ~4 s torch inverse;
+        # limit 2000 -> 1911-DOF coarse (one semi level), 14 iters, 0.7 s
+        # numpy inverse; limit 1200 -> 1029-DOF coarse, 21 iters. 2000 is
+        # the sweet spot: +1 iteration for a 3x cheaper setup without torch.
+        coarse_dof_limit: int = 2000,
         min_levels: int = 1,
         fine_op: "StructuredSolidOperator | None" = None,
         spacing=None,
@@ -240,6 +245,9 @@ class StructuredMultigrid:
         # from_lattice (single-cell assembly, cheap) only on semi-coarsened
         # steps where the spacing ratio changes.
         prev_op = None
+        binv_hosts = []  # host copies (the safe-omega power iteration must
+        # NOT read the device arrays back: a device->host readback through
+        # the axon relay blocks for minutes — measured 580 s setup)
         for i, (ni, spi, mgrid) in enumerate(specs):
             if i == 0 and fine_op is not None:
                 if tuple(fine_op.n_cells) != ni:
@@ -259,50 +267,62 @@ class StructuredMultigrid:
             prev_op = op
             m_int = op.to_internal(mgrid.reshape(-1))
             op = op.with_free_mask(m_int)  # numpy in: host mirror cached
-            binv = [jnp.asarray(b.astype(dtype)) for b in op.block_jacobi_tensors()]
-            self.levels.append(_Level(op=op, binv=binv))
+            bh = [b.astype(dtype) for b in op.block_jacobi_tensors()]
+            binv_hosts.append(bh)
+            self.levels.append(_Level(op=op, binv=[jnp.asarray(b) for b in bh]))
 
-        # Smoother damping. omega=0.7 is stable and tuned for the uniform
-        # isotropic hierarchy, but damped block-Jacobi DIVERGES on the
-        # anisotropic coarse operators a semi-coarsened hierarchy produces
-        # (measured: the V-cycle turns indefinite and CG's rz>0 guard trips).
-        # In that case estimate lambda_max(M^-1 K) per level by power
-        # iteration and use the Chebyshev-style safe choice 4/(3 lambda_max).
-        semi = any(g != (1, 2, 3) for g in self._coarsen_axes)
-        if semi:
-            self.omegas = [
-                min(omega, 4.0 / (3.0 * _power_lambda_max(l.op, l.binv)))
-                for l in self.levels
-            ]
-        else:
-            self.omegas = [omega] * len(self.levels)
+        # Smoother damping. omega=0.7 is stable and tuned for isotropic
+        # levels, but damped block-Jacobi DIVERGES on the ANISOTROPIC
+        # operators a semi-coarsened hierarchy produces (measured: the
+        # V-cycle turns indefinite and CG's rz>0 guard trips). For each
+        # level whose cell spacing is anisotropic, estimate
+        # lambda_max(M^-1 K) by power iteration and use the Chebyshev-style
+        # safe choice 4/(3 lambda_max); isotropic levels keep the tuned
+        # omega (the per-level rule keeps the host power iteration off the
+        # big isotropic fine grids, where it costs seconds).
+        self.omegas = []
+        for (ni, spi, _), lvl, binv_h in zip(specs, self.levels, binv_hosts):
+            if max(spi) / min(spi) > 1.01:
+                self.omegas.append(
+                    min(omega, 4.0 / (3.0 * _power_lambda_max(lvl.op, binv_h)))
+                )
+            else:
+                self.omegas.append(omega)
 
         # Coarsest: dense masked Cholesky in the coarse op's internal order.
-        from femx.mesh.generators import box_tet10_from_cells
-
         cn, csp, _ = specs[-1]
         cop = self.levels[-1].op
-        cmesh = box_tet10_from_cells(cn, csp)
-        K = _dense_structured_K(cmesh, E, nu, cop.weight)
+        K = _dense_structured_K(cn, csp, E, nu, cop.weight)
         perm = cop._permutation()
         Kp = K[np.ix_(perm, perm)]
         m = cop.free_mask_host.astype(np.float64)
         Kp = Kp * m[:, None] * m[None, :] + np.diag(1.0 - m)
-        np.linalg.cholesky(Kp)  # definiteness check (raises on indefinite)
         # Explicit symmetric inverse instead of two triangular solves: a TPU
         # triangular solve serializes row-by-row (measured ~2-4 ms at 3.7k
         # DOF — comparable to the whole rest of the V-cycle), while the
         # inverse is one MXU matvec. Inverted in f64 on host, symmetrized,
         # cast; as the coarsest-level correction of a PRECONDITIONER the
         # inverse's extra rounding is inert, and symmetry (which CG does
-        # need) is exact by construction. torch's LAPACK is ~2x numpy's on
-        # this host (measured 3.2 s vs 6.5 s at 3675^2 on one core).
-        try:
-            import torch
+        # need) is exact by construction. At <=1200 DOF plain numpy is
+        # ~0.15 s; above that torch's dpotrf+dpotri is ~3x cheaper than
+        # numpy's LU (1.3 s vs 4.4 s at 3675^2 measured) and worth its
+        # ~2-4 s import.
+        if Kp.shape[0] <= 2000:
+            np.linalg.cholesky(Kp)  # definiteness check (raises on indefinite)
+            Kinv = np.linalg.solve(Kp, np.eye(Kp.shape[0], dtype=Kp.dtype))
+        else:
+            try:
+                import torch
 
-            Kinv = torch.linalg.inv(torch.from_numpy(Kp)).numpy()
-        except ImportError:
-            Kinv = np.linalg.inv(Kp)
+                try:
+                    L = torch.linalg.cholesky(torch.from_numpy(Kp))
+                except Exception as e:  # keep numpy's error contract
+                    raise np.linalg.LinAlgError(
+                        f"coarse matrix not positive definite: {e}")
+                Kinv = torch.cholesky_inverse(L).numpy()
+            except ImportError:
+                np.linalg.cholesky(Kp)  # definiteness check
+                Kinv = np.linalg.solve(Kp, np.eye(Kp.shape[0], dtype=Kp.dtype))
         Kinv = 0.5 * (Kinv + Kinv.T)
         self._coarse_inv = jnp.asarray(Kinv.astype(dtype))
 
@@ -347,7 +367,10 @@ def _power_lambda_max(op: StructuredSolidOperator, binv, iters: int = 15) -> flo
     iteration converges to the top eigenvalue; a 5% pad covers the truncated
     iteration. Runs at setup ENTIRELY ON THE HOST CPU: eagerly dispatching
     ~100 ops per apply through the axon relay (~30 ms per dispatch) was
-    measured at minutes of wall time per semi-coarsened hierarchy."""
+    measured at minutes of wall time per semi-coarsened hierarchy.
+
+    `binv` must be HOST numpy arrays — reading a device binv back through
+    the relay blocked for minutes per phase (measured 580 s setup)."""
     from femx.config import host_compute
 
     rng = np.random.default_rng(7)
@@ -355,7 +378,7 @@ def _power_lambda_max(op: StructuredSolidOperator, binv, iters: int = 15) -> flo
     with host_compute():
         hop = dataclasses.replace(op, Kcell=jnp.asarray(op.Kcell_host))
         hop = hop.with_free_mask(jnp.asarray(op.free_mask_host))
-        hbinv = [jnp.asarray(np.asarray(b)) for b in binv]
+        hbinv = [jnp.asarray(np.asarray(b)) for b in binv]  # host -> CPU dev
 
         @jax.jit
         def step(v):
@@ -371,16 +394,27 @@ def _power_lambda_max(op: StructuredSolidOperator, binv, iters: int = 15) -> flo
     return 1.05 * lam
 
 
-def _dense_structured_K(mesh, E, nu, weight) -> np.ndarray:
-    from femx.assembly import SolidOperator, assemble_dense, dof_map
-    from femx.config import host_compute
-    from femx.elements.tet10 import material_matrix
+def _dense_structured_K(n_cells, spacing, E, nu, weight) -> np.ndarray:
+    """Dense f64 lattice stiffness in GLOBAL raster DOF order, assembled by
+    overlap-adding the single (81,81) cell matrix with one bincount — pure
+    host numpy, ~0.1 s at the 3.7k-DOF coarsest level (replaced a jax
+    per-element assembly measured at ~2.3 s of setup)."""
+    from femx.assembly_structured import _SLOTS, _cell_stiffness
 
-    with host_compute():  # small f64 setup math; avoid a remote TPU compile
-        C = material_matrix(float(E), float(nu), dtype=jnp.float64)
-        op, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C, weight=weight)
-        K = assemble_dense(op.element_stiffness(), dof_map(op.conn, 3), 3 * mesh.num_nodes)
-        return np.asarray(K)
+    Kc = _cell_stiffness(tuple(spacing), E, nu, weight, np.float64)
+    nx, ny, nz = (int(v) for v in n_cells)
+    gy, gz = 2 * ny + 1, 2 * nz + 1
+    ndof = 3 * (2 * nx + 1) * gy * gz
+    i, j, k = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    slots = np.asarray(_SLOTS)  # (27, 3)
+    nodes = (
+        (2 * i[..., None] + slots[:, 0]) * gy + (2 * j[..., None] + slots[:, 1])
+    ) * gz + (2 * k[..., None] + slots[:, 2])  # (nx, ny, nz, 27) raster ids
+    dofs = (3 * nodes[..., None] + np.arange(3)).reshape(-1, 81)  # (ncell, 81)
+    lin = (dofs[:, :, None].astype(np.int64) * ndof + dofs[:, None, :]).ravel()
+    w = np.broadcast_to(Kc.ravel(), (dofs.shape[0], 81 * 81)).ravel()
+    return np.bincount(lin, weights=w, minlength=ndof * ndof).reshape(ndof, ndof)
 
 
 def _level_flatten(l: _Level):

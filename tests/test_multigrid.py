@@ -88,6 +88,37 @@ def test_box_tet10_from_cells_exact_counts():
     np.testing.assert_allclose(mesh.points[:, 0].max(), 1.0, rtol=1e-12)
 
 
+def test_inv3x3_np_matches_lapack():
+    """Closed-form batched 3x3 inverse (setup hot path) == np.linalg.inv."""
+    from femx.assembly_structured import _inv3x3_np
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(200, 3, 3))
+    A = A @ np.transpose(A, (0, 2, 1)) + 3.0 * np.eye(3)  # SPD like the blocks
+    np.testing.assert_allclose(_inv3x3_np(A), np.linalg.inv(A),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_dense_structured_K_matches_element_assembly():
+    """Bincount overlap-add of the cell matrix == per-element assembly."""
+    import jax.numpy as jnp
+
+    from femx.assembly import SolidOperator, assemble_dense, dof_map
+    from femx.elements.tet10 import material_matrix
+    from femx.mesh import box_tet10_from_cells
+    from femx.solve.multigrid import _dense_structured_K
+
+    n_cells, spacing = (3, 2, 4), (0.11, 0.13, 0.09)
+    mesh = box_tet10_from_cells(n_cells, spacing)
+    C = material_matrix(2e11, 0.3, dtype=jnp.float64)
+    op, _ = SolidOperator.from_mesh(mesh.points, mesh.cells["tetra10"], C)
+    K_ref = np.asarray(assemble_dense(op.element_stiffness(),
+                                      dof_map(op.conn, 3), 3 * mesh.num_nodes))
+    K = _dense_structured_K(n_cells, spacing, 2e11, 0.3, op.weight)
+    np.testing.assert_allclose(K, K_ref, rtol=1e-10,
+                               atol=np.abs(K_ref).max() * 1e-12)
+
+
 def test_coarsened_kcell_exact_rescale():
     """K(2h) == 2 K(h) for uniform coarsening (affine-element scaling law)."""
     from femx.assembly_structured import StructuredSolidOperator
