@@ -160,6 +160,22 @@ def main():
         f"MG-PCG solves): {t_modal:.2f}s steady / {t_modal_cold:.2f}s with "
         f"compile; f = {np.round(f_hz, 2).tolist()} Hz")
 
+    # error bar: per-mode algebraic eigen-residuals through the f64
+    # operator — a backward-error bound |f - f*|/f <= eta/2 valid at any
+    # scale (femx.modal.eig_residuals)
+    from femx.modal import eig_residuals
+
+    m64 = jnp.asarray(op.lumped_mass_diagonal(7850.0))
+
+    @jax.jit
+    def _etas(modes, om, op64_, m_):
+        return eig_residuals(op64_.apply_constrained, m_, om, modes)
+
+    etas = np.asarray(_etas(jnp.asarray(mres.modes, dtype=jnp.float64),
+                            mres.omega, op64, m64))
+    log(f"modal eigen-residuals eta (rel-eigenvalue error bound): "
+        f"max {etas.max():.2e}, f1 {etas[0]:.2e}")
+
     target = 2.0  # BASELINE.json north star: < 2 s at 1M DOF
     print(json.dumps({
         # Headline = the solve that meets BOTH north stars at once: < 2 s
@@ -182,6 +198,10 @@ def main():
         "modal10_compile_s": round(t_modal_cold, 2),
         "modal10_inner_solves": int(mres.iterations),
         "modal_f1_hz": round(float(f_hz[0]), 4),
+        # relative frequency-error bounds from the f64 eigen-residuals
+        # (backward error of the symmetric pencil; femx.modal.eig_residuals)
+        "modal_f1_err_est": float(etas[0] / 2),
+        "modal_max_err_est": float(etas.max() / 2),
     }))
 
 

@@ -335,6 +335,35 @@ def _lanczos_orth_step(V, w, j):
     return w, alpha, beta
 
 
+def eig_residuals(k_apply, m_diag, omega, modes) -> jnp.ndarray:
+    """Per-mode relative algebraic eigen-residuals for the pencil (K, M).
+
+    eta_i = ||K v_i - lam_i M v_i||_{M^-1} / (lam_i ||v_i||_M) with
+    lam_i = omega_i^2 and M the (SPD diagonal) lumped mass. For a symmetric
+    pencil this is a backward-error bound: some exact eigenvalue lam* has
+    |lam_i - lam*| / lam_i <= eta_i, so the relative FREQUENCY error is
+    bounded by ~eta_i / 2 (f = sqrt(lam) / 2pi). This is the error bar the
+    large-scale Lanczos frequencies ship with (BENCH modal_f1_err_est) —
+    dense cross-validation is only possible at small n
+    (tests/test_modal_structured.py), the residual bound holds at ANY n.
+
+    Evaluate k_apply in float64 (pass the f64 operator) so the bound
+    reflects the eigensolve, not the residual evaluation's own rounding.
+    """
+    m = jnp.asarray(m_diag)
+    m_safe = jnp.where(m > 0, m, 1.0)
+    sq = jnp.sqrt(m_safe)
+    lam = jnp.asarray(omega, dtype=m.dtype) ** 2
+    etas = []
+    for i in range(modes.shape[1]):
+        v = jnp.asarray(modes[:, i], dtype=m.dtype)
+        r = k_apply(v) - lam[i] * m * v
+        num = jnp.linalg.norm(r / sq)
+        den = lam[i] * jnp.linalg.norm(sq * v)
+        etas.append(num / jnp.where(den > 0, den, 1.0))
+    return jnp.stack(etas)
+
+
 def solid_modal_structured(
     op,
     preconditioner,

@@ -139,7 +139,9 @@ class TestShiftInvertModal:
         rho = 7850.0
 
         # dense reference: K in mesh order, lumped diag mass in mesh order
-        K = _dense_structured_K(mesh, 2e11, 0.3, op.weight)
+        K = _dense_structured_K(mesh.structured.n_cells,
+                                mesh.structured.spacing, 2e11, 0.3,
+                                op.weight)
         m_int = op.lumped_mass_diagonal(rho)
         m_glob = op.to_global(m_int)
         free = np.where(mask > 0)[0]
@@ -175,6 +177,22 @@ class TestShiftInvertModal:
         v0 = jnp.asarray(modes[:, 0])
         r = np.asarray(op.apply_constrained(v0)) - omega[0] ** 2 * m_int * modes[:, 0]
         assert np.linalg.norm(r) < 1e-5 * omega[0] ** 2
+
+        # eig_residuals error bars (the bound the large-scale bench ships):
+        # eta must (a) bound the TRUE relative eigenvalue error vs the dense
+        # reference, (b) be small for the converged solve, (c) blow up for a
+        # corrupted mode.
+        from femx.modal import eig_residuals
+
+        etas = np.asarray(eig_residuals(
+            op.apply_constrained, m_int, res.omega, jnp.asarray(modes)))
+        true_rel = np.abs(omega ** 2 - omega_dense ** 2) / omega_dense ** 2
+        assert (etas < 1e-5).all(), etas
+        assert (true_rel <= etas + 1e-12).all(), (true_rel, etas)
+        bad = jnp.asarray(modes).at[:, 0].mul(0.5).at[0, 0].add(1.0)
+        etas_bad = np.asarray(eig_residuals(
+            op.apply_constrained, m_int, res.omega, bad))
+        assert etas_bad[0] > 100 * etas[0]
 
     def test_solid_modal_structured_mg(self):
         """End-to-end helper with the multigrid inner solve."""
@@ -234,7 +252,9 @@ class TestShiftInvertModal:
         assert res_loose.iterations is not None
         assert res_loose.iterations < res_tight.iterations
 
-        K = _dense_structured_K(mesh, 2e11, 0.3, op.weight)
+        K = _dense_structured_K(mesh.structured.n_cells,
+                                mesh.structured.spacing, 2e11, 0.3,
+                                op.weight)
         m_glob = op.to_global(m_int)
         free = np.where(mask > 0)[0]
         lam_d, _ = generalized_eigh_diag_mass(
