@@ -160,21 +160,97 @@ def main():
         f"MG-PCG solves): {t_modal:.2f}s steady / {t_modal_cold:.2f}s with "
         f"compile; f = {np.round(f_hz, 2).tolist()} Hz")
 
-    # error bar: per-mode algebraic eigen-residuals through the f64
-    # operator — a backward-error bound |f - f*|/f <= eta/2 valid at any
-    # scale (femx.modal.eig_residuals)
-    from femx.modal import eig_residuals
+    # Error bars for the fast modal numbers. The residual/Rayleigh checks
+    # of the FAST modes saturate (f32 inner solves leave ~1e-3 mode-SHAPE
+    # noise whose Rayleigh error is amplified by the pencil's ~6e6 spectral
+    # range — measured rho/lam up to ~9 while the eigenVALUES reproduce to
+    # 4e-4), so the defensible bar is a TIGHT validation solve: f64 Lanczos
+    # whose inner K-solves are f32 MG-PCG + adaptive f64 refinement to
+    # 1e-9 true residual, then err_est = |f_fast - f_tight| / f_tight.
+    from femx.modal import modal_shift_invert, rayleigh_error_estimates
+    from femx.solve.cg import pcg_refined
 
     m64 = jnp.asarray(op.lumped_mass_diagonal(7850.0))
 
     @jax.jit
-    def _etas(modes, om, op64_, m_):
-        return eig_residuals(op64_.apply_constrained, m_, om, modes)
+    def _ks_tight(b, mg_, op64_):
+        return pcg_refined(
+            mg_.fine_op.apply_constrained, jnp.asarray(b, jnp.float32),
+            M_inv_diag=mg_, tol=1e-5, maxiter=200, refine_steps=6,
+            A_residual=op64_.apply_constrained,
+            b_residual=jnp.asarray(b, jnp.float64), outer_tol=1e-9).x
 
-    etas = np.asarray(_etas(jnp.asarray(mres.modes, dtype=jnp.float64),
-                            mres.omega, op64, m64))
-    log(f"modal eigen-residuals eta (rel-eigenvalue error bound): "
-        f"max {etas.max():.2e}, f1 {etas[0]:.2e}")
+    t0 = time.perf_counter()
+    mtight = modal_shift_invert(
+        lambda b: _ks_tight(b, mg, op64),
+        np.asarray(m64), op.free_mask_host, n_modes=10, tol=1e-6,
+        maxiter=60, dtype=np.float64)
+    t_validate = time.perf_counter() - t0
+    f_tight = np.asarray(mtight.omega) / (2 * np.pi)
+    rel_errs = np.abs(f_hz - f_tight) / np.maximum(f_tight, 1e-30)
+    _rho, ray_tight = rayleigh_error_estimates(
+        op64.apply_constrained, m64, mtight.omega,
+        jnp.asarray(mtight.modes, dtype=jnp.float64))
+    ray_tight = np.asarray(ray_tight)
+    log(f"modal validation (f64 Lanczos, refined inner solves, "
+        f"{mtight.iterations} iters, {t_validate:.1f}s): "
+        f"f_tight[0]={f_tight[0]:.4f} Hz; |f_fast-f_tight|/f: "
+        f"max {rel_errs.max():.2e}, f1 {rel_errs[0]:.2e}; tight Rayleigh "
+        f"consistency max {ray_tight.max():.2e}")
+
+    # Unstructured path at the same scale (the reference's arbitrary-gmsh
+    # capability, ReactionSolver.py:59-73): node labels randomized so no
+    # structured metadata survives; transpose-gather operator + lattice-MG
+    # preconditioner. Disable with FEMX_BENCH_UNSTRUCTURED=0 (adds ~4 min:
+    # SoA geometry + lattice setup + one large compile).
+    t_unstructured = None
+    unstructured_iters = None
+    if os.environ.get("FEMX_BENCH_UNSTRUCTURED", "1") == "1":
+        from femx.assembly_tg import SolidOperatorTG
+        from femx.solve.lattice_precond import LatticePreconditioner
+
+        conn_u = np.asarray(mesh.cells["tetra10"])
+        pts_u = np.asarray(mesh.points)
+        rng = np.random.default_rng(0)
+        relabel = rng.permutation(len(pts_u))
+        pts_s = np.empty_like(pts_u)
+        pts_s[relabel] = pts_u
+        conn_s = relabel[conn_u]
+        mask_s = np.empty_like(mask)
+        mask_s.reshape(-1, 3)[relabel] = mask.reshape(-1, 3)
+        f_s = np.empty_like(f)
+        f_s.reshape(-1, 3)[relabel] = f.reshape(-1, 3)
+
+        t0 = time.perf_counter()
+        uop, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
+                                           dtype=dtype)
+        uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask_s),
+                                             dtype=uop.dtype))
+        bj_data = uop.soa.block_jacobi_tensors()
+        lp = LatticePreconditioner(pts_s, conn_s, 2e11, 0.3, mask_s,
+                                   dtype=dtype, node_perm=uop.new_of_old,
+                                   bj_fn=type(uop.soa).apply_block_jacobi,
+                                   bj_data=bj_data)
+        log(f"unstructured setup (TG + lattice precond): "
+            f"{time.perf_counter()-t0:.1f}s")
+        fu = jnp.asarray(uop.to_internal(f_s * mask_s), dtype=uop.dtype)
+
+        @jax.jit
+        def solve_u(fv, op_, lp_):
+            r = pcg(op_.apply_constrained, fv, M_inv_diag=lp_, tol=tol,
+                    maxiter=2000)
+            return r.x, r.iterations, r.residual_norm
+
+        xu, itu, rnu = solve_u(fu, uop, lp)
+        jax.block_until_ready(xu)  # compile
+        t0 = time.perf_counter()
+        xu, itu, rnu = solve_u(fu, uop, lp)
+        jax.block_until_ready(xu)
+        _ = float(rnu)
+        t_unstructured = time.perf_counter() - t0
+        unstructured_iters = int(itu)
+        log(f"unstructured lattice-MG PCG: {t_unstructured:.2f}s "
+            f"({unstructured_iters} iters, res {float(rnu):.2e})")
 
     target = 2.0  # BASELINE.json north star: < 2 s at 1M DOF
     print(json.dumps({
@@ -198,10 +274,16 @@ def main():
         "modal10_compile_s": round(t_modal_cold, 2),
         "modal10_inner_solves": int(mres.iterations),
         "modal_f1_hz": round(float(f_hz[0]), 4),
-        # relative frequency-error bounds from the f64 eigen-residuals
-        # (backward error of the symmetric pencil; femx.modal.eig_residuals)
-        "modal_f1_err_est": float(etas[0] / 2),
-        "modal_max_err_est": float(etas.max() / 2),
+        # relative frequency-error estimates: deviation of the fast f32
+        # Lanczos frequencies from the tight validation solve (f64 Lanczos,
+        # 1e-9-true-residual inner solves)
+        "modal_f1_err_est": float(rel_errs[0]),
+        "modal_max_err_est": float(rel_errs.max()),
+        "modal_validation_s": round(t_validate, 2),
+        **({} if t_unstructured is None else {
+            "unstructured_solve_s": round(t_unstructured, 3),
+            "unstructured_iters": unstructured_iters,
+        }),
     }))
 
 

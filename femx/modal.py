@@ -349,6 +349,16 @@ def eig_residuals(k_apply, m_diag, omega, modes) -> jnp.ndarray:
 
     Evaluate k_apply in float64 (pass the f64 operator) so the bound
     reflects the eigensolve, not the residual evaluation's own rounding.
+
+    CAVEAT (measured at 1.39M DOF): this bound is FIRST-ORDER in the
+    mode-shape error — a shape perturbation epsilon along a high eigenvalue
+    lam_big contributes ~epsilon * lam_big / lam to eta, so with f32 inner
+    K-solves (true-residual ~1e-2 at scale) and a pencil spectral range of
+    ~1e6 the bound saturates at O(1e3+) even though the eigenVALUES are
+    accurate to ~1e-3 (the Rayleigh quotient is SECOND-order in shape
+    error). Use rayleigh_error_estimates for a practical error bar; eta is
+    the rigorous certificate when inner solves are tight (see
+    tests/test_modal_structured.py where eta < 1e-5 bounds the true error).
     """
     m = jnp.asarray(m_diag)
     m_safe = jnp.where(m > 0, m, 1.0)
@@ -362,6 +372,30 @@ def eig_residuals(k_apply, m_diag, omega, modes) -> jnp.ndarray:
         den = lam[i] * jnp.linalg.norm(sq * v)
         etas.append(num / jnp.where(den > 0, den, 1.0))
     return jnp.stack(etas)
+
+
+def rayleigh_error_estimates(k_apply, m_diag, omega, modes):
+    """(rho, rel_err): f64 Rayleigh quotients of the modes and their
+    relative deviation from the solver's eigenvalues.
+
+    rho_i = (v_i^T K v_i) / (v_i^T M v_i) evaluated through the f64
+    operator is a SECOND-order-accurate eigenvalue estimate in the
+    mode-shape error, so |rho_i - lam_i| / lam_i is a practical error bar
+    for the reported eigenvalue (and ~half that for the frequency) even
+    when f32 inner solves leave first-order noise in the shapes — the
+    regime where eig_residuals' rigorous bound saturates (see its caveat).
+    """
+    m = jnp.asarray(m_diag)
+    lam = jnp.asarray(omega, dtype=m.dtype) ** 2
+    rhos, errs = [], []
+    for i in range(modes.shape[1]):
+        v = jnp.asarray(modes[:, i], dtype=m.dtype)
+        num = jnp.vdot(v, k_apply(v))
+        den = jnp.vdot(v, m * v)
+        rho = num / jnp.where(den > 0, den, 1.0)
+        rhos.append(rho)
+        errs.append(jnp.abs(rho - lam[i]) / jnp.where(lam[i] > 0, lam[i], 1.0))
+    return jnp.stack(rhos), jnp.stack(errs)
 
 
 def solid_modal_structured(

@@ -194,6 +194,16 @@ class TestShiftInvertModal:
             op.apply_constrained, m_int, res.omega, bad))
         assert etas_bad[0] > 100 * etas[0]
 
+        # Rayleigh cross-check (the error bar the bench ships): rho must
+        # match both the solver's lam and the dense reference tightly
+        from femx.modal import rayleigh_error_estimates
+
+        rho, rel = rayleigh_error_estimates(
+            op.apply_constrained, m_int, res.omega, jnp.asarray(modes))
+        rho = np.asarray(rho)
+        assert (np.asarray(rel) < 1e-6).all(), np.asarray(rel)
+        np.testing.assert_allclose(rho, omega_dense ** 2, rtol=1e-6)
+
     def test_solid_modal_structured_mg(self):
         """End-to-end helper with the multigrid inner solve."""
         n_cells = (4, 4, 16)
