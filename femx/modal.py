@@ -398,6 +398,43 @@ def rayleigh_error_estimates(k_apply, m_diag, omega, modes):
     return jnp.stack(rhos), jnp.stack(errs)
 
 
+def shift_invert_residuals(k_solve_accurate, m_diag, omega, modes):
+    """Relative eigenvalue error bounds via the INVERSE-operator residual.
+
+    Work in the symmetric similarity B = D K^-1 D with D = sqrt(M): the
+    Lanczos modes satisfy B y ~ mu y with y = D v, mu = 1/lam. The Ritz
+    bound |mu - mu*| <= ||B y - mu y|| / ||y|| then gives
+    |lam - lam*| / lam ~ |mu - mu*| / mu = eta_inv.
+
+    Unlike the direct (K, M) residual (eig_residuals), high-frequency
+    mode-shape noise is DAMPED by K^-1 here instead of amplified by K, so
+    the bound stays sharp for modes computed with inexact f32 inner solves
+    (measured at 1.39M DOF: direct bound ~1e3, this one ~1e-4).
+
+    k_solve_accurate must solve K x = b to a true residual far below the
+    target bound (e.g. the adaptive-refined MG-PCG at outer_tol 1e-9);
+    cost is one accurate solve per mode.
+
+    Returns (eta_inv, mu): per-mode relative eigenvalue error bounds and
+    the inverse Ritz values.
+    """
+    m = jnp.asarray(m_diag, dtype=jnp.float64)
+    d = jnp.sqrt(jnp.where(m > 0, m, 0.0))
+    lam = jnp.asarray(omega, dtype=jnp.float64) ** 2
+    etas, mus = [], []
+    for i in range(modes.shape[1]):
+        v = jnp.asarray(modes[:, i], dtype=jnp.float64)
+        y = d * v
+        ynorm = jnp.linalg.norm(y)
+        mu = 1.0 / jnp.where(lam[i] > 0, lam[i], 1.0)
+        By = d * jnp.asarray(k_solve_accurate(m * v), dtype=jnp.float64)
+        r = By - mu * y
+        eta_abs = jnp.linalg.norm(r) / jnp.where(ynorm > 0, ynorm, 1.0)
+        etas.append(eta_abs / mu)
+        mus.append(mu)
+    return jnp.stack(etas), jnp.stack(mus)
+
+
 def solid_modal_structured(
     op,
     preconditioner,

@@ -120,8 +120,10 @@ def distributed_structured_solve(
 
     f_int = op_p.to_internal(f_p)
     inner_tol = max(tol, 1e-5) if np.dtype(dtype) == np.float32 else tol
+    prec = dmg.preconditioner()  # built once, reused by every refinement
+    # pass so pcg_halo's traced-solver cache hits
     x_int, it, res, ok = pcg_halo(dmg.halo, f_int, tol=inner_tol,
-                                  preconditioner=dmg.preconditioner())
+                                  preconditioner=prec)
     total_it = it
     info = {
         "method": f"distributed_halo_mg_pcg[{ndev}x{axis}]",
@@ -152,7 +154,7 @@ def distributed_structured_solve(
             rn_prev = rn
             d_int, it_c, _res_c, _ok = pcg_halo(
                 dmg.halo, np.asarray(r_h, dtype=np.float32),
-                tol=inner_tol, preconditioner=dmg.preconditioner())
+                tol=inner_tol, preconditioner=prec)
             x_new = x_h + jnp.asarray(d_int, dtype=jnp.float64)
             r_new = f64_int - _jit_apply_op(x_new, op64)
             rn_new = float(jnp.linalg.norm(r_new)) / bnorm

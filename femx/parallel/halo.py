@@ -348,13 +348,25 @@ def pcg_halo(
         res = jnp.sqrt(dot(r, r)) / bnorm_safe
         return x[None], k, res
 
-    spec = P(axis)
-    in_specs = (spec, spec, spec, spec, spec) + tuple(
-        jax.tree.map(lambda _: spec, e) for e in extra
-    )
-    fn = jax.shard_map(kernel, mesh=mesh, in_specs=in_specs,
-                       out_specs=(spec, P(), P()))
-    x_st, k, res = jax.jit(fn)(f_st, w_st, m_st, zw_st, x0_st, *extra)
+    # cache the traced+jitted solver per (halo, preconditioner, tol,
+    # maxiter): the driver's iterative-refinement loop calls pcg_halo
+    # several times with the same structure, and re-wrapping
+    # shard_map+jit re-traces the whole program every call
+    cache = getattr(halo, "_pcg_fn_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(halo, "_pcg_fn_cache", cache)
+    key = (id(preconditioner), float(tol), int(maxiter))
+    fn_jit = cache.get(key)
+    if fn_jit is None:
+        spec = P(axis)
+        in_specs = (spec, spec, spec, spec, spec) + tuple(
+            jax.tree.map(lambda _: spec, e) for e in extra
+        )
+        fn_jit = jax.jit(jax.shard_map(kernel, mesh=mesh, in_specs=in_specs,
+                                       out_specs=(spec, P(), P())))
+        cache[key] = fn_jit
+    x_st, k, res = fn_jit(f_st, w_st, m_st, zw_st, x0_st, *extra)
     x_full = halo.gather(np.asarray(x_st))
     return x_full, int(k), float(res), bool(res <= tol)
 

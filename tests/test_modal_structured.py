@@ -194,8 +194,8 @@ class TestShiftInvertModal:
             op.apply_constrained, m_int, res.omega, bad))
         assert etas_bad[0] > 100 * etas[0]
 
-        # Rayleigh cross-check (the error bar the bench ships): rho must
-        # match both the solver's lam and the dense reference tightly
+        # Rayleigh cross-check: rho must match both the solver's lam and
+        # the dense reference tightly
         from femx.modal import rayleigh_error_estimates
 
         rho, rel = rayleigh_error_estimates(
@@ -203,6 +203,16 @@ class TestShiftInvertModal:
         rho = np.asarray(rho)
         assert (np.asarray(rel) < 1e-6).all(), np.asarray(rel)
         np.testing.assert_allclose(rho, omega_dense ** 2, rtol=1e-6)
+
+        # shift-invert residual bound (the error bar the bench ships):
+        # must be small AND cover the true eigenvalue error vs dense
+        from femx.modal import shift_invert_residuals
+
+        eta_inv, _ = shift_invert_residuals(
+            k_solve, m_int, res.omega, jnp.asarray(modes))
+        eta_inv = np.asarray(eta_inv)
+        assert (eta_inv < 1e-5).all(), eta_inv
+        assert (true_rel <= eta_inv + 1e-9).all(), (true_rel, eta_inv)
 
     def test_solid_modal_structured_mg(self):
         """End-to-end helper with the multigrid inner solve."""
