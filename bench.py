@@ -160,14 +160,17 @@ def main():
         f"MG-PCG solves): {t_modal:.2f}s steady / {t_modal_cold:.2f}s with "
         f"compile; f = {np.round(f_hz, 2).tolist()} Hz")
 
-    # Error bars for the fast modal numbers, via the INVERSE-operator
-    # residual (femx.modal.shift_invert_residuals): direct (K, M)
+    # Error bars + refinement for the fast modal numbers through the
+    # INVERSE operator (femx.modal.shift_invert_refine): direct (K, M)
     # residual/Rayleigh checks saturate for f32-computed modes (~1e-3
     # mode-shape noise amplified by the pencil's ~6e6 spectral range —
     # measured rho/lam up to ~9 while eigenvalues reproduce to 4e-4), but
-    # K^-1 DAMPS that noise, so the shift-invert Ritz bound stays sharp.
-    # One adaptive-refined solve (true residual 1e-9) per mode.
-    from femx.modal import shift_invert_residuals
+    # K^-1 DAMPS that noise; one inverse-iteration step + Rayleigh-Ritz
+    # then recovers eigenvalues quadratically (small-scale test vs dense
+    # eigh: 1e-3-noisy modes -> <1e-8 eigenvalue error) and ships a
+    # per-mode Ritz BOUND. Two adaptive-refined solves (true residual
+    # 1e-9) per mode, all through one compiled program.
+    from femx.modal import shift_invert_refine
     from femx.solve.cg import pcg_refined
 
     m64 = jnp.asarray(op.lumped_mass_diagonal(7850.0))
@@ -181,14 +184,18 @@ def main():
             b_residual=jnp.asarray(b, jnp.float64), outer_tol=1e-9).x
 
     t0 = time.perf_counter()
-    rel_errs, _mus = shift_invert_residuals(
-        lambda b: _ks_tight(b, mg, op64), np.asarray(m64), mres.omega,
+    om_ref, rel_errs, _modes_ref = shift_invert_refine(
+        lambda b: _ks_tight(b, mg, op64), np.asarray(m64),
         jnp.asarray(mres.modes, dtype=jnp.float64))
     rel_errs = np.asarray(rel_errs)
+    f_ref = np.asarray(om_ref) / (2 * np.pi)
     t_validate = time.perf_counter() - t0
-    log(f"modal validation (shift-invert residuals w/ 1e-9-refined solves, "
-        f"{t_validate:.1f}s): rel-eigenvalue bound max {rel_errs.max():.2e},"
-        f" f1 {rel_errs[0]:.2e}")
+    log(f"modal refine+validate (inverse-iteration + Rayleigh-Ritz w/ "
+        f"1e-9-refined solves, {t_validate:.1f}s): refined f1 "
+        f"{f_ref[0]:.6f} Hz (Lanczos {f_hz[0]:.6f}); rel-eigenvalue bound "
+        f"max {rel_errs.max():.2e}, f1 {rel_errs[0]:.2e}; "
+        f"|f_ref - f_lanczos|/f rel max "
+        f"{np.max(np.abs(f_ref - f_hz) / f_ref):.2e}")
 
     # Unstructured path at the same scale (the reference's arbitrary-gmsh
     # capability, ReactionSolver.py:59-73): node labels randomized so no
@@ -265,10 +272,12 @@ def main():
         "modal10_s": round(t_modal, 2),
         "modal10_compile_s": round(t_modal_cold, 2),
         "modal10_inner_solves": int(mres.iterations),
-        "modal_f1_hz": round(float(f_hz[0]), 4),
-        # relative eigenvalue-error bounds via inverse-operator (shift-
-        # invert) residuals with 1e-9-refined solves; frequency error is
-        # ~half (f = sqrt(lam)). femx.modal.shift_invert_residuals.
+        # Rayleigh-Ritz-refined through the inverse operator (two
+        # 1e-9-refined solves per mode); rel_errs are per-mode Ritz
+        # BOUNDS on the relative eigenvalue error — frequency error is
+        # ~half (f = sqrt(lam)). femx.modal.shift_invert_refine.
+        "modal_f1_hz": round(float(f_ref[0]), 4),
+        "modal_f1_lanczos_hz": round(float(f_hz[0]), 4),
         "modal_f1_err_est": float(rel_errs[0] / 2),
         "modal_max_err_est": float(rel_errs.max() / 2),
         "modal_validation_s": round(t_validate, 2),

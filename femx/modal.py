@@ -435,6 +435,65 @@ def shift_invert_residuals(k_solve_accurate, m_diag, omega, modes):
     return jnp.stack(etas), jnp.stack(mus)
 
 
+def shift_invert_refine(k_solve_accurate, m_diag, modes):
+    """Subspace refinement of computed modes through the inverse operator:
+    one inverse-iteration step + Rayleigh-Ritz, with per-mode Ritz bounds.
+
+    Why this beats per-mode residual checks (shift_invert_residuals): the
+    f32-Lanczos mode shapes carry ~1e-3 noise, which caps the per-mode
+    Ritz bound near 1e-2 even though the eigenvalues themselves are far
+    better. Two standard fixes compose here:
+
+      * inverse iteration  W = K^-1 M V  damps the noise component at
+        eigenvalue lam_j by lam_i/lam_j — high-frequency junk (the bulk of
+        the f32 noise, lam_j up to ~6e6x lam_1) is crushed;
+      * Rayleigh-Ritz on span(W) in the symmetric similarity
+        B = D K^-1 D (D = sqrt(lumped M)) optimally rotates WITHIN the
+        subspace, which is what per-mode quotients cannot do for clustered
+        modes (the flagship's modes 1/2 are 0.07% apart).
+
+    Cost: 2k accurate solves (K^-1 applied to M V and to M W) — the same
+    compiled adaptive-refined MG-PCG program throughout.
+
+    Returns (omega_ref, eta, modes_ref): refined angular frequencies
+    (descending-mu Ritz order = ascending frequency), first-order relative
+    eigenvalue error BOUNDS eta_i = ||B y_i - th_i y_i|| / (||y_i|| th_i)
+    (the actual eigenvalue error is quadratic in the subspace angle, so
+    typically far below eta), and the refined mode shapes.
+    """
+    m = jnp.asarray(m_diag, dtype=jnp.float64)
+    d = jnp.sqrt(jnp.where(m > 0, m, 0.0))
+    V = jnp.asarray(modes, dtype=jnp.float64)
+    k = V.shape[1]
+    # inverse-iteration step (k solves)
+    W = jnp.stack([jnp.asarray(k_solve_accurate(m * V[:, i]), jnp.float64)
+                   for i in range(k)], axis=1)
+    # B-space basis and its image under B (k more solves)
+    Y = d[:, None] * W
+    BY = jnp.stack([d * jnp.asarray(k_solve_accurate(m * W[:, i]), jnp.float64)
+                    for i in range(k)], axis=1)
+    G = Y.T @ Y
+    H = Y.T @ BY
+    H = 0.5 * (H + H.T)  # exact-arithmetic symmetric; kill solve-tol skew
+    # generalized symmetric Ritz: H c = th G c via G^-1/2 whitening
+    gw, gv = jnp.linalg.eigh(G)
+    gw = jnp.maximum(gw, gw[-1] * 1e-14)
+    Gih = gv @ jnp.diag(gw ** -0.5) @ gv.T
+    th, C = jnp.linalg.eigh(Gih @ H @ Gih)
+    order = jnp.argsort(-th)  # descending mu = ascending frequency
+    th = th[order]
+    C = (Gih @ C)[:, order]  # G-orthonormal coefficients
+    # residuals of the refined Ritz pairs, evaluated with the ALREADY
+    # computed images (no further solves): r = BY c - th * Y c
+    Yc = Y @ C
+    Rc = BY @ C - Yc * th[None, :]
+    eta = (jnp.linalg.norm(Rc, axis=0)
+           / jnp.maximum(jnp.linalg.norm(Yc, axis=0), 1e-300)) / jnp.abs(th)
+    omega_ref = jnp.sqrt(1.0 / jnp.maximum(th, 1e-300))
+    modes_ref = W @ C
+    return omega_ref, eta, modes_ref
+
+
 def solid_modal_structured(
     op,
     preconditioner,

@@ -6,7 +6,20 @@ the unstructured mesh in an auxiliary structured lattice, run femx's
 gather-free geometric V-cycle there, and couple the two with trilinear
 transfer operators:
 
-    M^-1 = D^-1 + omega_c * P Mg P^T        (additive two-level)
+    M^-1 = D^-1 + omega_c * P Mg P^T        (additive two-level, mode="add")
+
+or, multiplicatively (mode="mult"/"mult_sym", the stronger coupling — the
+additive sum lets the two corrections fight over the mid-frequency error
+they both see, while the multiplicative form applies the smoother only to
+the residual LEFT by the coarse correction):
+
+    mode="mult"     z = C r;  z += omega * D^-1 (r - A z)
+                    (one extra A-apply; mildly nonsymmetric -> use
+                    femx.solve.cg.fcg, which is robust to it)
+    mode="mult_sym" z = omega*D^-1 r; z += C (r - A z);
+                    z += omega*D^-1 (r - A z)
+                    (two extra A-applies; SPD whenever
+                    rho(omega * D^-1 A) < 2, so plain CG applies)
 
   D^-1   nodal block-Jacobi of the unstructured operator (captures local
          stiffness / boundary detail the lattice cannot see)
@@ -35,6 +48,7 @@ gathers only).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -218,6 +232,10 @@ class LatticePreconditioner:
         node_perm: Optional[np.ndarray] = None,
         bj_fn=None,
         bj_data=None,
+        mode: str = "add",
+        op=None,
+        omega: Optional[float] = None,
+        n_cycles: int = 1,
     ):
         """
         Args:
@@ -230,6 +248,19 @@ class LatticePreconditioner:
           node_perm: new_of_old mesh-node relabeling if the caller's vectors
             are in a permuted node order (e.g. SolidOperatorTG internal);
             identity if None.
+          mode: "add" (default), "mult", or "mult_sym" — see module
+            docstring. The multiplicative modes need `op`.
+          op: the unstructured operator (a registered pytree, e.g.
+            SolidOperatorTG) whose `apply_constrained` evaluates A inside
+            the multiplicative residual updates. Stays a pytree leaf so
+            jitted solves can take the preconditioner as an argument.
+          omega: damping for the block-Jacobi smoothing steps in the
+            multiplicative modes. Required for "mult_sym" (SPD needs
+            rho(omega*D^-1 A) < 2; use 1/estimate_bj_lambda_max(...)),
+            defaults to 1.0 for "mult" (fcg tolerates it).
+          n_cycles: lattice V-cycles per coarse correction (>1 buys a
+            slightly stronger correction for pure lattice-side cost — no
+            unstructured gathers).
         """
         pts = np.asarray(points, dtype=np.float64)
         conn = np.asarray(conn)
@@ -242,6 +273,15 @@ class LatticePreconditioner:
         self.bj_fn = bj_fn
         self.bj_data = bj_data
         self.coarse_weight = float(coarse_weight)
+        if mode not in ("add", "mult", "mult_sym"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode != "add" and op is None:
+            raise ValueError(f"mode={mode!r} needs the unstructured operator (op=)")
+        self.mode = mode
+        self.op = op
+        self.omega = None if omega is None else jnp.asarray(
+            omega, dtype=jnp.dtype(dtype))
+        self.n_cycles = int(n_cycles)
 
         lo = pts.min(axis=0)
         hi = pts.max(axis=0)
@@ -266,30 +306,49 @@ class LatticePreconditioner:
         half_h = np.asarray(spacing) / 2.0
 
         # --- lattice activity mask (global raster order) -------------------
+        # Activate EXACTLY the support of P restricted to free mesh DOFs:
+        # component c of a lattice corner is active iff some free mesh DOF
+        # (n, c) interpolates from it with nonzero trilinear weight. A
+        # superset (an earlier revision dilated to the 27-neighborhood of
+        # every snapped mesh node) is actively HARMFUL, not just wasteful:
+        # unsupported lattice DOFs couple through the lattice stiffness and
+        # soften the coarse correction on range(P^T) — measured to DOUBLE
+        # outer PCG iterations (76 vs 35 on the 8k-DOF diagnostic, with an
+        # EXACT lattice inverse either way, i.e. the mask rule — not
+        # V-cycle accuracy — was the entire gap).
         mask_l = np.zeros((gs[0], gs[1], gs[2], 3))
-        ij = np.clip(
-            np.round((pts - lo[None, :]) / half_h[None, :]).astype(np.int64),
-            0, np.asarray(gs)[None, :] - 1,
-        )
-        # activate the 27-neighborhood of every snapped mesh node (support
-        # of all trilinear stencils touching it)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    q = np.clip(ij + np.array([dx, dy, dz]),
-                                0, np.asarray(gs) - 1)
-                    mask_l[q[:, 0], q[:, 1], q[:, 2], :] = 1.0
-        # Dirichlet: a mesh node with component c fixed fixes component c of
-        # its 8 support corners (the lattice correction must vanish there)
         mu = np.asarray(free_mask_global).reshape(self.n_nodes, 3)
         t = (pts - lo[None, :]) / half_h[None, :]
         i0 = np.clip(np.floor(t).astype(np.int64), 0, np.asarray(gs) - 2)
+        fr = np.clip(t - i0, 0.0, 1.0)
         for dx in (0, 1):
             for dy in (0, 1):
                 for dz in (0, 1):
                     q = i0 + np.array([dx, dy, dz])
+                    w = ((fr[:, 0] if dx else 1.0 - fr[:, 0])
+                         * (fr[:, 1] if dy else 1.0 - fr[:, 1])
+                         * (fr[:, 2] if dz else 1.0 - fr[:, 2]))
+                    sup = w > 1e-12
                     for c in range(3):
-                        fixed = mu[:, c] < 0.5
+                        sel = sup & (mu[:, c] > 0.5)
+                        mask_l[q[sel, 0], q[sel, 1], q[sel, 2], c] = 1.0
+        # Dirichlet: a mesh node with component c fixed fixes component c of
+        # the corners that actually support it (w > 0; boundary nodes lie
+        # exactly on lattice planes, so half their corners carry w = 0 and
+        # must NOT be fixed — fixing them kills the correction in the first
+        # half-cell layer above the boundary, which was worth the entire
+        # 76-vs-35 outer-iteration gap together with the dilation above).
+        # Overrides support activation.
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    q = i0 + np.array([dx, dy, dz])
+                    w = ((fr[:, 0] if dx else 1.0 - fr[:, 0])
+                         * (fr[:, 1] if dy else 1.0 - fr[:, 1])
+                         * (fr[:, 2] if dz else 1.0 - fr[:, 2]))
+                    sup = w > 1e-12
+                    for c in range(3):
+                        fixed = sup & (mu[:, c] < 0.5)
                         mask_l[q[fixed, 0], q[fixed, 1], q[fixed, 2], c] = 0.0
 
         self.mg = StructuredMultigrid(
@@ -316,10 +375,58 @@ class LatticePreconditioner:
         rm = r * self._mask_cal
         rl = self.transfer.restrict(rm) * self._lat_mask
         el = self.mg(rl) * self._lat_mask
+        if self.n_cycles > 1:
+            # extra V-cycles on the lattice residual equation (all
+            # structured ops — no unstructured gathers)
+            Al = self.mg.fine_op.apply_constrained
+            for _ in range(self.n_cycles - 1):
+                el = el + self.mg((rl - Al(el)) * self._lat_mask) * self._lat_mask
         return self.transfer.interpolate(el, self.n_nodes) * self._mask_cal
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        return self.bj_fn(self.bj_data, r) + self.coarse_weight * self.coarse_correct(r)
+        if self.mode == "add":
+            return (self.bj_fn(self.bj_data, r)
+                    + self.coarse_weight * self.coarse_correct(r))
+        A = self.op.apply_constrained
+        om = self.omega if self.omega is not None else 1.0
+        if self.mode == "mult":
+            z = self.coarse_correct(r)
+            return z + om * self.bj_fn(self.bj_data, r - A(z))
+        # mult_sym: damped BJ pre-smooth, coarse correction, BJ post-smooth
+        z = om * self.bj_fn(self.bj_data, r)
+        z = z + self.coarse_correct(r - A(z))
+        return z + om * self.bj_fn(self.bj_data, r - A(z))
+
+
+def estimate_bj_lambda_max(op, bj_fn, bj_data, iters: int = 20,
+                           safety: float = 1.05) -> float:
+    """Power-iteration estimate of lambda_max(D^-1 A) for smoother damping.
+
+    D^-1 A is similar to the SPSD D^-1/2 A D^-1/2, so the dominant
+    eigenvalue is real/positive and plain power iteration converges; the
+    Rayleigh quotient underestimates slightly at finite iters, hence the
+    `safety` factor. One compiled program, op/bj as pytree arguments
+    (compile-cache friendly); iters * one apply each — ~1 s at the
+    1.39M-DOF flagship.
+
+    mode="mult_sym" is SPD iff rho(omega * D^-1 A) < 2; omega =
+    1/lambda_max gives rho = 1 with margin.
+    """
+    n = op.ndof
+    v0 = jnp.sin(jnp.arange(1, n + 1, dtype=op.dtype) * 0.73)
+    lam = _power_bj(bj_fn, bj_data, op, v0, int(iters))
+    return float(lam) * safety
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _power_bj(bj_fn, bj_data, op, v0, iters):
+    def step(_, v):
+        w = bj_fn(bj_data, op.apply_constrained(v))
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    v = jax.lax.fori_loop(0, iters, step, v0 / jnp.sqrt(jnp.vdot(v0, v0)))
+    w = bj_fn(bj_data, op.apply_constrained(v))
+    return jnp.real(jnp.vdot(v, w) / jnp.vdot(v, v))
 
 
 class _Closure:
@@ -343,17 +450,18 @@ def _call_closure(data: _Closure, r):
 def _lp_flatten(lp: LatticePreconditioner):
     legacy = isinstance(lp.bj_data, _Closure)
     children = (lp.mg, lp.transfer, lp._mask_cal, lp._lat_mask,
-                None if legacy else lp.bj_data)
+                None if legacy else lp.bj_data, lp.op, lp.omega)
     aux = (lp.bj_fn, lp.bj_data if legacy else None, lp.coarse_weight,
-           lp.n_nodes, lp.n_cells, lp.spacing)
+           lp.n_nodes, lp.n_cells, lp.spacing, lp.mode, lp.n_cycles)
     return children, aux
 
 
 def _lp_unflatten(aux, children):
     out = object.__new__(LatticePreconditioner)
-    (out.mg, out.transfer, out._mask_cal, out._lat_mask, bj_data) = children
+    (out.mg, out.transfer, out._mask_cal, out._lat_mask, bj_data,
+     out.op, out.omega) = children
     (out.bj_fn, legacy_data, out.coarse_weight, out.n_nodes, out.n_cells,
-     out.spacing) = aux
+     out.spacing, out.mode, out.n_cycles) = aux
     out.bj_data = legacy_data if legacy_data is not None else bj_data
     return out
 
