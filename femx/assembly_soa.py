@@ -108,6 +108,12 @@ class SolidOperatorSoA:
         return soa.block_diagonal_entries(self.dNg, self.wdet, chat, self.weight)
 
     def diagonal(self) -> jnp.ndarray:
+        # One compiled program: evaluated eagerly, the stack + scatter-add
+        # chain is ~40 per-op dispatches through the accelerator relay
+        # (~30 ms each) plus per-op mini-compiles — pure setup-time waste.
+        return _jit_diagonal(self)
+
+    def _diagonal_impl(self) -> jnp.ndarray:
         bke = self._block_entries()  # (10, 3, 3, E)
         diag_e = jnp.stack([bke[n, c, c] for n in range(10) for c in range(3)])  # (30, E)
         return jnp.zeros(self.ndof, dtype=diag_e.dtype).at[self.dofs.reshape(-1)].add(
@@ -117,8 +123,9 @@ class SolidOperatorSoA:
     def block_jacobi_tensors(self) -> jnp.ndarray:
         """(3, 3, N) inverse constrained nodal blocks — data for
         `apply_block_jacobi`, pytree-friendly (pass as a jit argument; a
-        closed-over copy becomes a compiled-program constant)."""
-        return self._block_jacobi_cols()
+        closed-over copy becomes a compiled-program constant). Computed as
+        ONE jitted program (the eager form was ~60 relay dispatches)."""
+        return _jit_bj_cols(self)
 
     @staticmethod
     def apply_block_jacobi(binv_cols, r):
@@ -191,6 +198,11 @@ def _soa_unflatten(aux, children):
 
 
 jax.tree_util.register_pytree_node(SolidOperatorSoA, _soa_flatten, _soa_unflatten)
+
+# Module-level jits (created once per process; the operator enters as a
+# pytree ARGUMENT so its arrays don't become compiled-program constants).
+_jit_diagonal = jax.jit(lambda op: op._diagonal_impl())
+_jit_bj_cols = jax.jit(lambda op: op._block_jacobi_cols())
 
 
 class BlockJacobiPrecond:

@@ -35,8 +35,10 @@ the residual LEFT by the coarse correction):
 Both M^-1 terms are SPSD and D^-1 is SPD on free DOFs, so M^-1 is SPD and
 CG convergence theory applies. Effectiveness depends on the lattice
 resolving the mesh (node spacing ~ element size); the auto heuristic
-matches the lattice CELL spacing to the median element edge length (the
-doubled-lattice node pitch is then half an edge length).
+matches the lattice CELL spacing to the median per-element MINIMUM corner
+edge length (the doubled-lattice node pitch is then half of that — the
+quadratic-node spacing, so on grid-like meshes lattice nodes coincide
+with mesh nodes and the trilinear transfers degenerate to injection).
 
 Reference context: the reference solves arbitrary gmsh meshes with SuperLU
 (ReactionSolver.py:201) — impossible at 1M DOF. femx's block-Jacobi PCG
@@ -235,7 +237,7 @@ class LatticePreconditioner:
         mode: str = "add",
         op=None,
         omega: Optional[float] = None,
-        n_cycles: int = 1,
+        n_cycles: int = 2,
     ):
         """
         Args:
@@ -259,8 +261,12 @@ class LatticePreconditioner:
             rho(omega*D^-1 A) < 2; use 1/estimate_bj_lambda_max(...)),
             defaults to 1.0 for "mult" (fcg tolerates it).
           n_cycles: lattice V-cycles per coarse correction (>1 buys a
-            slightly stronger correction for pure lattice-side cost — no
-            unstructured gathers).
+            stronger correction for pure lattice-side cost — no
+            unstructured gathers). Default 2: measured 44 -> 38 iterations
+            at 8k DOF and 25 vs 37 at 56k (with the grid-matched lattice);
+            SPD-safe since the exact-support activity mask keeps
+            lambda_max(Mg A_latt) ~ 1.06 (the k-cycle composition
+            Mg_k = Mg (2I - A Mg) ... stays SPD for lambda_max < 2).
         """
         pts = np.asarray(points, dtype=np.float64)
         conn = np.asarray(conn)
@@ -287,11 +293,20 @@ class LatticePreconditioner:
         hi = pts.max(axis=0)
         span = np.where(hi - lo > 0, hi - lo, 1.0)
         if cells_per_axis is None:
-            # match lattice CELL SPACING to the median element edge length
-            # (so the lattice half-spacing — the doubled-lattice node pitch —
-            # is h_el/2)
-            e01 = np.linalg.norm(pts[conn[:, 1]] - pts[conn[:, 0]], axis=1)
-            h_el = np.median(e01)
+            # Match lattice CELL SPACING to the median of each element's
+            # SHORTEST corner edge (the doubled-lattice node pitch is then
+            # h_el/2, i.e. the quadratic-node spacing). The shortest edge —
+            # not an arbitrary one — is the right pitch estimate: on
+            # Kuhn-subdivided grids the corner edges are {h, h*sqrt(2),
+            # h*sqrt(3)} and only min-edge recovers h. Measured at 56k DOF
+            # (randomized labels): the grid-matched lattice this yields cuts
+            # outer PCG 37 -> 25 iterations vs the previous median(edge01)
+            # rule, and 33 -> 18 (2.66 s -> 1.60 s) at the 1.39M flagship.
+            c4 = pts[conn[:, :4]]  # (n_el, 4, 3) corner coordinates
+            pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+            edges = np.stack([np.linalg.norm(c4[:, a] - c4[:, b], axis=1)
+                              for a, b in pairs], axis=1)
+            h_el = np.median(edges.min(axis=1))
             cells_per_axis = tuple(
                 _even_cells(span[a] / max(h_el, 1e-30)) for a in range(3)
             )
