@@ -465,33 +465,58 @@ def shift_invert_refine(k_solve_accurate, m_diag, modes):
     d = jnp.sqrt(jnp.where(m > 0, m, 0.0))
     V = jnp.asarray(modes, dtype=jnp.float64)
     k = V.shape[1]
+
+    def solve_normed(b):
+        # Normalize the RHS before the solve (K^-1 is homogeneous). The
+        # un-normalized RHS m*W ~ m*V/lambda_1 has entries ~1e-8, and the
+        # inner CG's squared dot products then cross the ~1e-38 underflow
+        # floor of the TPU's double-double f64 emulation (f32 EXPONENT
+        # range): measured on-chip, the solve stagnated at 2.4e-3 relative
+        # residual after 4000 iterations while the identical f64 solve on
+        # CPU converged in 217. Unit-norm RHS keeps every CG intermediate
+        # in range on both backends.
+        nb = jnp.linalg.norm(b)
+        s = jnp.where(nb > 0, nb, 1.0)
+        return s * jnp.asarray(k_solve_accurate(b / s), jnp.float64)
+
     # inverse-iteration step (k solves)
-    W = jnp.stack([jnp.asarray(k_solve_accurate(m * V[:, i]), jnp.float64)
-                   for i in range(k)], axis=1)
+    W = jnp.stack([solve_normed(m * V[:, i]) for i in range(k)], axis=1)
     # B-space basis and its image under B (k more solves)
     Y = d[:, None] * W
-    BY = jnp.stack([d * jnp.asarray(k_solve_accurate(m * W[:, i]), jnp.float64)
-                    for i in range(k)], axis=1)
-    G = Y.T @ Y
-    H = Y.T @ BY
+    BY = jnp.stack([d * solve_normed(m * W[:, i]) for i in range(k)], axis=1)
+    # k x k Ritz algebra on HOST numpy: the axon TPU backend computes f64
+    # eigh internally in f32 (measured: 40% eigenvalue error on a 10x10 SPD
+    # matrix with entries ~1e-20 — exactly the scale of G here, since
+    # Y ~ K^-1 M V ~ 1/lambda), which silently destroyed the whitening and
+    # returned garbage refined frequencies. The tall (ndof x k) matmuls
+    # stay on device — at Precision.HIGHEST: the TPU's default bf16
+    # multiplication passes put ~4e-3 relative noise into the Gram
+    # matrices, and with cond(G) ~ (lam_k/lam_1)^2 ~ 1e5 the whitening
+    # amplifies that into order-unity Ritz garbage (measured on the 1.39M
+    # flagship: refined f1 came out 28x low with default precision).
+    hi = jax.lax.Precision.HIGHEST
+    G = np.asarray(jnp.matmul(Y.T, Y, precision=hi), dtype=np.float64)
+    H = np.asarray(jnp.matmul(Y.T, BY, precision=hi), dtype=np.float64)
     H = 0.5 * (H + H.T)  # exact-arithmetic symmetric; kill solve-tol skew
     # generalized symmetric Ritz: H c = th G c via G^-1/2 whitening
-    gw, gv = jnp.linalg.eigh(G)
-    gw = jnp.maximum(gw, gw[-1] * 1e-14)
-    Gih = gv @ jnp.diag(gw ** -0.5) @ gv.T
-    th, C = jnp.linalg.eigh(Gih @ H @ Gih)
-    order = jnp.argsort(-th)  # descending mu = ascending frequency
+    gw, gv = np.linalg.eigh(G)
+    gw = np.maximum(gw, gw[-1] * 1e-14)
+    Gih = gv @ np.diag(gw ** -0.5) @ gv.T
+    th, C = np.linalg.eigh(Gih @ H @ Gih)
+    order = np.argsort(-th)  # descending mu = ascending frequency
     th = th[order]
     C = (Gih @ C)[:, order]  # G-orthonormal coefficients
+    Cd = jnp.asarray(C, dtype=jnp.float64)
     # residuals of the refined Ritz pairs, evaluated with the ALREADY
     # computed images (no further solves): r = BY c - th * Y c
-    Yc = Y @ C
-    Rc = BY @ C - Yc * th[None, :]
-    eta = (jnp.linalg.norm(Rc, axis=0)
-           / jnp.maximum(jnp.linalg.norm(Yc, axis=0), 1e-300)) / jnp.abs(th)
-    omega_ref = jnp.sqrt(1.0 / jnp.maximum(th, 1e-300))
-    modes_ref = W @ C
-    return omega_ref, eta, modes_ref
+    Yc = jnp.matmul(Y, Cd, precision=hi)
+    Rc = jnp.matmul(BY, Cd, precision=hi) - Yc * jnp.asarray(th)[None, :]
+    eta = (np.asarray(jnp.linalg.norm(Rc, axis=0))
+           / np.maximum(np.asarray(jnp.linalg.norm(Yc, axis=0)), 1e-300)
+           ) / np.abs(th)
+    omega_ref = np.sqrt(1.0 / np.maximum(th, 1e-300))
+    modes_ref = jnp.matmul(W, Cd, precision=hi)
+    return jnp.asarray(omega_ref), jnp.asarray(eta), modes_ref
 
 
 def solid_modal_structured(
