@@ -91,6 +91,23 @@ def main():
 
     timed_op("restrict+interpolate", restrict_interp, lp, x)
 
+    # dense (unpruned) transfer for comparison when the auto pick is pruned
+    from femx.solve.lattice_precond import (LatticeTransferPruned,
+                                            build_lattice_transfer)
+    if isinstance(lp.transfer, LatticeTransferPruned):
+        kept = lp.transfer.kept_incidences()
+        log(f"pruned transfer: kept {kept} of {8 * op.n_nodes} incidences")
+        inv = np.argsort(op.new_of_old, kind="stable")
+        dense_t = build_lattice_transfer(
+            pts_s[inv], pts_s.min(axis=0), np.asarray(lp.spacing) / 2.0,
+            lp.mg.fine_op.grid_shape, dtype=np.float32)
+
+        def restrict_interp_dense(t, v):
+            rl = t.restrict(v * lp._mask_cal) * lp._lat_mask
+            return t.interpolate(rl, lp.n_nodes) * lp._mask_cal
+
+        timed_op("restrict+interp (dense)", restrict_interp_dense, dense_t, x)
+
     xl = jnp.asarray(
         rng.standard_normal(lp.mg.fine_op.ndof).astype(np.float32))
     timed_op("lattice_vcycle", lambda l, v: l.mg(v), lp, xl)

@@ -117,6 +117,178 @@ class LatticeTransfer:
         return jnp.concatenate(parts)
 
 
+@dataclasses.dataclass
+class LatticeTransferPruned:
+    """Zero-weight-pruned trilinear transfer (the grid-matched fast path).
+
+    When the auto pitch heuristic grid-matches the mesh (the default, and
+    exactly the case for Kuhn-subdivided boxes), mesh nodes COINCIDE with
+    doubled-lattice nodes: one of the 8 trilinear weights is 1 and the rest
+    are EXACT ZEROS (boundary nodes on lattice planes likewise zero half
+    their corners). The dense LatticeTransfer still gathers all 8
+    incidences both ways — 8N rows per direction, pure waste on coincident
+    nodes, and XLA gather cost is per ROW (~4.3 ns, width-invariant). This
+    variant keeps only w > eps incidences, degree-bucketed on BOTH sides
+    (mesh nodes by kept-corner count for interpolate; lattice nodes by
+    kept-incidence count for restrict), plus one rank-permutation row
+    gather per direction to restore output order. Kept weights are
+    renormalized per mesh node (constants interpolate exactly); the SAME
+    kept set drives both directions, so restrict stays the exact adjoint
+    of interpolate and the preconditioner stays SPD.
+
+    Row counts per direction: sum(d) + N vs the dense 8N — 4.3x fewer at
+    the 1.39M-DOF flagship (2.0N vs 8N asymptotically on fully coincident
+    interiors, where only the perm gather remains next to the 1-wide
+    bucket).
+    """
+
+    # interpolate side: mesh nodes bucketed by kept-corner count
+    n_idx: List[jnp.ndarray]  # per degree (n_d, d) rows into the (L, 3) cat
+    n_w: List[jnp.ndarray]  # per degree (n_d, d)
+    node_rank: jnp.ndarray  # (N,) node -> bucket-concat position
+    # restrict side: cat-lattice rows bucketed by kept-incidence count
+    l_idx: List[jnp.ndarray]  # per degree (n_d, d) mesh-node rows
+    l_w: List[jnp.ndarray]
+    lat_rank: jnp.ndarray  # (L,) cat row -> bucket-concat position
+    phase_counts: Tuple[int, ...]
+
+    def _cat3(self, e_int: jnp.ndarray) -> jnp.ndarray:
+        """Internal per-phase (3, cnt) blocks -> one (L, 3) row view."""
+        pos, rows = 0, []
+        for cnt in self.phase_counts:
+            rows.append(e_int[pos:pos + 3 * cnt].reshape(3, cnt).T)
+            pos += 3 * cnt
+        return jnp.concatenate(rows)
+
+    def interpolate(self, e_int: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+        cat = self._cat3(e_int)
+        parts = []
+        for bi, bw in zip(self.n_idx, self.n_w):
+            if bi.shape[1] == 0:
+                parts.append(jnp.zeros((bi.shape[0], 3), dtype=cat.dtype))
+            else:
+                parts.append(
+                    (bw[..., None].astype(cat.dtype) * cat[bi]).sum(axis=1))
+        out = jnp.concatenate(parts)  # (N, 3) bucket order
+        return out[self.node_rank].reshape(-1)
+
+    def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
+        r3 = r.reshape(-1, 3)
+        parts = []
+        for bi, bw in zip(self.l_idx, self.l_w):
+            if bi.shape[1] == 0:
+                parts.append(jnp.zeros((bi.shape[0], 3), dtype=r3.dtype))
+            else:
+                parts.append(
+                    (bw[..., None].astype(r3.dtype) * r3[bi]).sum(axis=1))
+        cat = jnp.concatenate(parts)[self.lat_rank]  # (L, 3) cat order
+        out, pos = [], 0
+        for cnt in self.phase_counts:
+            out.append(cat[pos:pos + cnt].T.reshape(-1))
+            pos += cnt
+        return jnp.concatenate(out)
+
+    def kept_incidences(self) -> int:
+        return sum(int(b.shape[0]) * int(b.shape[1]) for b in self.n_idx)
+
+
+def build_lattice_transfer_pruned(
+    points: np.ndarray,
+    origin: np.ndarray,
+    half_h: np.ndarray,
+    grid_shape: Tuple[int, int, int],
+    dtype=np.float64,
+    eps: float = 1e-6,
+) -> LatticeTransferPruned:
+    """Host-side pruned-transfer construction (see LatticeTransferPruned)."""
+    pts = np.asarray(points, dtype=np.float64)
+    P_ = np.asarray(grid_shape)
+    t = (pts - origin[None, :]) / half_h[None, :]
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, P_[None, :] - 2)
+    f = np.clip(t - i0, 0.0, 1.0)
+    N = len(pts)
+
+    n_phase_nodes = []
+    for px in (0, 1):
+        for py in (0, 1):
+            for pz in (0, 1):
+                s = [(P_[a] + 1 - p) // 2 for a, p in enumerate((px, py, pz))]
+                n_phase_nodes.append(s[0] * s[1] * s[2])
+    off = np.concatenate([[0], np.cumsum(n_phase_nodes)])
+    L = int(off[-1])
+
+    idx = np.zeros((8, N), dtype=np.int64)
+    w = np.zeros((8, N))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                gx, gy, gz = i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz
+                p = (gx % 2) * 4 + (gy % 2) * 2 + (gz % 2)
+                wx = f[:, 0] if dx else 1.0 - f[:, 0]
+                wy = f[:, 1] if dy else 1.0 - f[:, 1]
+                wz = f[:, 2] if dz else 1.0 - f[:, 2]
+                py_ = (P_[1] + 1 - (gy % 2)) // 2
+                pz_ = (P_[2] + 1 - (gz % 2)) // 2
+                flat = ((gx // 2) * py_ + (gy // 2)) * pz_ + (gz // 2)
+                idx[p, np.arange(N)] = flat
+                w[p, np.arange(N)] = wx * wy * wz
+
+    dt = np.dtype(dtype)
+    m = w > eps
+    w_n = np.where(m, w, 0.0)
+    w_n /= w_n.sum(axis=0)[None, :]  # renormalize kept weights per node
+    g_row = idx + off[:8, None]  # global row in the (L, 3) cat view
+
+    # -- interpolate buckets: nodes by kept-corner count ------------------
+    mT, gT, wT = m.T, g_row.T, w_n.T  # (N, 8)
+    order8 = np.argsort(~mT, axis=1, kind="stable")  # kept entries first
+    g_c = np.take_along_axis(gT, order8, axis=1)
+    w_c = np.take_along_axis(wT, order8, axis=1)
+    d_node = mT.sum(axis=1)
+    order_nodes = np.argsort(d_node, kind="stable")
+    node_rank = np.argsort(order_nodes, kind="stable")
+    n_idx, n_w = [], []
+    pos = 0
+    for d in np.unique(d_node):
+        n_d = int((d_node == d).sum())
+        d = int(d)
+        sel = order_nodes[pos:pos + n_d]
+        n_idx.append(jnp.asarray(g_c[sel, :d].astype(np.int32)))
+        n_w.append(jnp.asarray(w_c[sel, :d].astype(dt)))
+        pos += n_d
+
+    # -- restrict buckets: lattice cat rows by kept-incidence count -------
+    p_inc, n_inc = np.nonzero(m)  # incidence list, phase-major order
+    dst = g_row[p_inc, n_inc]
+    wgt = w_n[p_inc, n_inc]
+    counts = np.bincount(dst, minlength=L)
+    lat_rank = np.argsort(np.argsort(counts, kind="stable"), kind="stable")
+    order_inc = np.argsort(lat_rank[dst], kind="stable")
+    counts_sorted = np.sort(counts, kind="stable")
+    l_idx, l_w = [], []
+    pos = 0
+    for d in np.unique(counts_sorted):
+        n_d = int((counts_sorted == d).sum())
+        d = int(d)
+        if d == 0:
+            l_idx.append(jnp.zeros((n_d, 0), dtype=jnp.int32))
+            l_w.append(jnp.zeros((n_d, 0), dtype=dt))
+        else:
+            rows = order_inc[pos:pos + n_d * d].reshape(n_d, d)
+            l_idx.append(jnp.asarray(n_inc[rows].astype(np.int32)))
+            l_w.append(jnp.asarray(wgt[rows].astype(dt)))
+            pos += n_d * d
+    assert pos == len(order_inc)
+
+    return LatticeTransferPruned(
+        n_idx=n_idx, n_w=n_w,
+        node_rank=jnp.asarray(node_rank.astype(np.int32)),
+        l_idx=l_idx, l_w=l_w,
+        lat_rank=jnp.asarray(lat_rank.astype(np.int32)),
+        phase_counts=tuple(n_phase_nodes),
+    )
+
+
 def build_lattice_transfer(
     points: np.ndarray,
     origin: np.ndarray,
@@ -380,7 +552,17 @@ class LatticePreconditioner:
         else:
             pts_cal = pts
             mu_cal = mu
-        self.transfer = build_lattice_transfer(pts_cal, lo, half_h, gs, dtype=dtype)
+        # Pruned transfer when enough trilinear weights are exact zeros to
+        # pay for its two rank-permutation gathers (grid-matched lattices —
+        # the auto default — are ~1 kept corner per node; fully generic
+        # interior nodes keep all 8 and the dense form is cheaper).
+        tp = build_lattice_transfer_pruned(pts_cal, lo, half_h, gs,
+                                           dtype=dtype)
+        if tp.kept_incidences() <= 4 * len(pts_cal):
+            self.transfer = tp
+        else:
+            self.transfer = build_lattice_transfer(pts_cal, lo, half_h, gs,
+                                                   dtype=dtype)
         self._mask_cal = jnp.asarray(mu_cal.reshape(-1), dtype=jnp.dtype(dtype))
         self._lat_mask = self.mg.fine_op.free_mask
 
@@ -498,8 +680,25 @@ def _transfer_unflatten(aux, children):
                            phase_counts=aux[0])
 
 
+def _transfer_pruned_flatten(t: LatticeTransferPruned):
+    children = (tuple(t.n_idx), tuple(t.n_w), t.node_rank,
+                tuple(t.l_idx), tuple(t.l_w), t.lat_rank)
+    return children, (t.phase_counts,)
+
+
+def _transfer_pruned_unflatten(aux, children):
+    n_idx, n_w, node_rank, l_idx, l_w, lat_rank = children
+    return LatticeTransferPruned(
+        n_idx=list(n_idx), n_w=list(n_w), node_rank=node_rank,
+        l_idx=list(l_idx), l_w=list(l_w), lat_rank=lat_rank,
+        phase_counts=aux[0])
+
+
 jax.tree_util.register_pytree_node(
     LatticeTransfer, _transfer_flatten, _transfer_unflatten
+)
+jax.tree_util.register_pytree_node(
+    LatticeTransferPruned, _transfer_pruned_flatten, _transfer_pruned_unflatten
 )
 jax.tree_util.register_pytree_node(
     LatticePreconditioner, _lp_flatten, _lp_unflatten

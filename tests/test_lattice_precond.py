@@ -54,6 +54,53 @@ def test_transfer_adjoint_and_symmetry():
     assert float(jnp.vdot(a, lp(a))) > 0
 
 
+def test_pruned_transfer_matches_dense():
+    """On a grid-matched mesh the pruned transfer must reproduce the dense
+    one exactly (it drops only exact-zero weights there), be selected by
+    the auto heuristic, and stay the exact adjoint on a jittered mesh
+    where mid-range weights survive the pruning."""
+    from femx.solve.lattice_precond import (
+        LatticeTransfer, LatticeTransferPruned, build_lattice_transfer,
+        build_lattice_transfer_pruned)
+
+    pts, conn, op, mask, _ = _problem()
+    bj = op.block_jacobi_preconditioner()
+    lp = LatticePreconditioner(pts, conn, 2e11, 0.3, mask, bj,
+                               dtype=np.float64, node_perm=op.new_of_old)
+    assert isinstance(lp.transfer, LatticeTransferPruned)
+
+    gs = lp.mg.fine_op.grid_shape
+    lo = pts.min(axis=0)
+    half_h = np.asarray(lp.spacing) / 2.0
+    inv = np.argsort(op.new_of_old, kind="stable")
+    pts_cal = pts[inv]
+    dense = build_lattice_transfer(pts_cal, lo, half_h, gs, dtype=np.float64)
+
+    rng = np.random.default_rng(2)
+    L = int(np.prod(gs))
+    e = jnp.asarray(rng.standard_normal(3 * L))
+    r = jnp.asarray(rng.standard_normal(op.ndof))
+    np.testing.assert_allclose(
+        np.asarray(lp.transfer.interpolate(e, op.n_nodes)),
+        np.asarray(dense.interpolate(e, op.n_nodes)), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(lp.transfer.restrict(r)),
+        np.asarray(dense.restrict(r)), atol=1e-12)
+
+    # jittered mesh: generic trilinear weights, pruning must keep the
+    # transfer an exact adjoint pair (same kept set both directions)
+    pts_j = pts_cal + rng.uniform(-0.3, 0.3, pts_cal.shape) * half_h[None, :]
+    pr = build_lattice_transfer_pruned(pts_j, pts_j.min(axis=0), half_h, gs,
+                                       dtype=np.float64)
+    lhs = float(jnp.vdot(pr.restrict(r), e))
+    rhs = float(jnp.vdot(r, pr.interpolate(e, len(pts_j))))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(rhs), 1.0)
+    # constants interpolate exactly despite renormalization
+    ones_lat = jnp.ones(3 * L)
+    out = np.asarray(pr.interpolate(ones_lat, len(pts_j)))
+    np.testing.assert_allclose(out, 1.0, atol=1e-12)
+
+
 def test_iteration_reduction_and_solution():
     pts, conn, op, mask, f_int = _problem()
     bj = op.block_jacobi_preconditioner()
