@@ -64,7 +64,8 @@ def main():
     fj = jnp.asarray(op.to_internal(f * mask), dtype=op.Kcell.dtype)
     t_setup = time.perf_counter() - t0
     log(f"MG setup (operators + cell matrices + coarse factor): {t_setup:.2f}s; "
-        f"levels {[l.op.n_cells for l in mg.levels]}")
+        f"levels {[l.op.n_cells for l in mg.levels]}; "
+        f"hierarchy cache {'hit' if mg.setup_cache_hit else 'miss'}")
 
     tol = 1e-5 if dtype == np.float32 else 1e-8
 
@@ -265,6 +266,7 @@ def main():
         # honest cold/warm split: one-time host setup and one-time XLA
         # compilation amortize across solves; 'value' is the warm solve.
         "setup_s": round(t_setup, 2),
+        "mg_cache": "hit" if mg.setup_cache_hit else "miss",
         "compile_s": round(t_compile, 2),
         "f32_solve_s": round(t_best, 4),
         "f32_iters": iters,

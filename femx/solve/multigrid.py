@@ -23,6 +23,9 @@ applies).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
+import tempfile
 from typing import List
 
 import numpy as np
@@ -30,6 +33,67 @@ import jax
 import jax.numpy as jnp
 
 from femx.assembly_structured import StructuredSolidOperator
+
+
+# ---------------------------------------------------------------------------
+# Persistent hierarchy cache. The expensive setup products — per-level
+# block-Jacobi inverse tensors, per-level smoother damping, and the dense
+# coarse inverse — are pure functions of (n_cells, spacing, E, nu, weight,
+# dtype, smoother params, fine free-mask), so they are cached on disk next to
+# the XLA compile cache and reloaded on repeat runs (the coarser masks and
+# operators derive deterministically from the fine inputs and stay cheap to
+# rebuild). Measured at the 1.39M-DOF flagship: 6.4 s cold -> ~1.5 s warm
+# setup. Disable with FEMX_MG_CACHE=0.
+
+_MG_CACHE_VERSION = 1
+
+
+def _mg_cache_dir() -> str | None:
+    d = os.environ.get("FEMX_MG_CACHE", os.path.expanduser("~/.cache/femx_mg"))
+    return None if d in ("0", "off", "") else d
+
+
+def _mg_cache_key(n, sp, E, nu, weight, dtype, n_smooth, omega,
+                  coarse_dof_limit, mask_grid) -> str:
+    h = hashlib.sha256()
+    h.update(repr((
+        _MG_CACHE_VERSION, tuple(n), tuple(sp), float(E), float(nu),
+        None if weight is None else float(weight), np.dtype(dtype).name,
+        int(n_smooth), float(omega), int(coarse_dof_limit),
+    )).encode())
+    h.update(np.packbits(
+        np.ascontiguousarray(mask_grid > 0.5).reshape(-1)).tobytes())
+    return h.hexdigest()[:32]
+
+
+def _mg_cache_load(key: str):
+    d = _mg_cache_dir()
+    if d is None:
+        return None
+    path = os.path.join(d, f"hier_{key}.npz")
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:
+        return None  # corrupt/partial file: fall through to recompute
+
+
+def _mg_cache_save(key: str, payload: dict) -> None:
+    d = _mg_cache_dir()
+    if d is None:
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        # suffix must end in .npz or np.savez appends one (and the rename
+        # would then move an empty file)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+        os.close(fd)
+        np.savez(tmp, **payload)
+        os.replace(tmp, os.path.join(d, f"hier_{key}.npz"))
+    except OSError:
+        pass  # cache is best-effort; solves proceed without it
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +304,13 @@ class StructuredMultigrid:
                 f"{tuple(n_cells)} do not coarsen far enough"
             )
 
+        ck = _mg_cache_key(specs[0][0], specs[0][1], E, nu, weight, dtype,
+                           n_smooth, omega, coarse_dof_limit, specs[0][2])
+        cached = _mg_cache_load(ck)
+        if cached is not None and int(cached["n_levels"]) != len(specs):
+            cached = None  # stale layout (shouldn't happen at same version)
+        self.setup_cache_hit = cached is not None  # for honest bench reporting
+
         # ---- per-level operators: reuse the caller's fine operator, derive
         # uniformly-coarsened cell matrices by exact 2x rescaling, rebuild
         # from_lattice (single-cell assembly, cheap) only on semi-coarsened
@@ -267,7 +338,10 @@ class StructuredMultigrid:
             prev_op = op
             m_int = op.to_internal(mgrid.reshape(-1))
             op = op.with_free_mask(m_int)  # numpy in: host mirror cached
-            bh = [b.astype(dtype) for b in op.block_jacobi_tensors()]
+            if cached is not None:
+                bh = [cached[f"binv_{i}_{p}"] for p in range(8)]
+            else:
+                bh = [b.astype(dtype) for b in op.block_jacobi_tensors()]
             binv_hosts.append(bh)
             self.levels.append(_Level(op=op, binv=[jnp.asarray(b) for b in bh]))
 
@@ -280,14 +354,22 @@ class StructuredMultigrid:
         # safe choice 4/(3 lambda_max); isotropic levels keep the tuned
         # omega (the per-level rule keeps the host power iteration off the
         # big isotropic fine grids, where it costs seconds).
-        self.omegas = []
-        for (ni, spi, _), lvl, binv_h in zip(specs, self.levels, binv_hosts):
-            if max(spi) / min(spi) > 1.01:
-                self.omegas.append(
-                    min(omega, 4.0 / (3.0 * _power_lambda_max(lvl.op, binv_h)))
-                )
-            else:
-                self.omegas.append(omega)
+        if cached is not None:
+            self.omegas = [float(w) for w in cached["omegas"]]
+        else:
+            self.omegas = []
+            for (ni, spi, _), lvl, binv_h in zip(specs, self.levels, binv_hosts):
+                if max(spi) / min(spi) > 1.01:
+                    self.omegas.append(
+                        min(omega,
+                            4.0 / (3.0 * _power_lambda_max(lvl.op, binv_h)))
+                    )
+                else:
+                    self.omegas.append(omega)
+
+        if cached is not None:
+            self._coarse_inv = jnp.asarray(cached["coarse_kinv"])
+            return
 
         # Coarsest: dense masked Cholesky in the coarse op's internal order.
         cn, csp, _ = specs[-1]
@@ -325,6 +407,14 @@ class StructuredMultigrid:
                 Kinv = np.linalg.solve(Kp, np.eye(Kp.shape[0], dtype=Kp.dtype))
         Kinv = 0.5 * (Kinv + Kinv.T)
         self._coarse_inv = jnp.asarray(Kinv.astype(dtype))
+
+        payload = {"n_levels": np.int64(len(specs)),
+                   "omegas": np.asarray(self.omegas, dtype=np.float64),
+                   "coarse_kinv": Kinv.astype(dtype)}
+        for i, bh in enumerate(binv_hosts):
+            for p, b in enumerate(bh):
+                payload[f"binv_{i}_{p}"] = np.asarray(b)
+        _mg_cache_save(ck, payload)
 
     def _coarse_solve(self, b: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.dot(self._coarse_inv, b,

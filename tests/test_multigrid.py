@@ -225,3 +225,30 @@ def test_mg_pytree_argument_equals_closure():
     mg2 = jax.tree.unflatten(td, leaves)
     r = jnp.asarray(np.random.default_rng(0).standard_normal(op.ndof))
     np.testing.assert_array_equal(np.asarray(mg(r)), np.asarray(mg2(r)))  # same objects -> same bits
+
+
+def test_mg_hierarchy_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """A cache-hit rebuild is bit-identical to the cold build, and the key
+    distinguishes masks (femx.solve.multigrid._mg_cache_*)."""
+    monkeypatch.setenv("FEMX_MG_CACHE", str(tmp_path))
+    dims = (0.4, 0.4, 0.8)
+    mesh, mask, f = _cantilever(dims, 0.1)
+    kw = dict(dtype=np.float32, coarse_dof_limit=3000)
+    mg1 = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask, **kw)
+    entries = [p for p in tmp_path.iterdir() if p.name.startswith("hier_")]
+    assert len(entries) == 1 and entries[0].stat().st_size > 0
+    mg2 = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask, **kw)
+    assert mg1.omegas == mg2.omegas
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(
+        mg1.fine_op.ndof).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(mg1(r)), np.asarray(mg2(r)))
+    # a different mask must not hit the same entry
+    mask2 = mask.copy()
+    mask2[3] = 1.0 - mask2[3]
+    StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask2, **kw)
+    assert len([p for p in tmp_path.iterdir()
+                if p.name.startswith("hier_")]) == 2
+    # disabled cache leaves the directory untouched
+    monkeypatch.setenv("FEMX_MG_CACHE", "0")
+    StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask, **kw)
+    assert len(list(tmp_path.iterdir())) == 2
