@@ -189,3 +189,28 @@ def test_binary_msh41_reference_asset_reencoded(tmp_path):
     np.testing.assert_array_equal(np.sort(m2.cells["vertex"].ravel()),
                                   np.sort(vc))
     assert m2.field_data == ref.field_data
+
+
+def test_box_tet10_from_cells_anisotropic_spacing():
+    """The constant-offset connectivity build must stay valid for per-axis
+    spacings (orientation is checked on one representative tet per Kuhn
+    path; the sign is spacing-independent for positive spacings)."""
+    from femx.mesh.generators import box_tet10_from_cells
+
+    mesh = box_tet10_from_cells((2, 3, 4), (0.1, 0.2, 0.05),
+                                fix_points=[(0.0, 0.0, 0.0)],
+                                force_points=[(0.2, 0.6, 0.2)])
+    pts = mesh.points
+    conn = mesh.cells["tetra10"]
+    corners = conn[:, :4]
+    v = np.linalg.det(pts[corners][:, 1:] - pts[corners][:, :1]) / 6.0
+    assert np.all(v > 0)
+    np.testing.assert_allclose(v.sum(), 0.2 * 0.6 * 0.2, rtol=1e-12)
+    from femx.mesh import TET10_EDGES
+
+    for k, (a, b) in enumerate(TET10_EDGES):
+        np.testing.assert_allclose(
+            pts[conn[:, 4 + k]],
+            0.5 * (pts[conn[:, a]] + pts[conn[:, b]]), atol=1e-14)
+    # every node is referenced exactly as the lattice predicts
+    assert conn.min() == 0 and conn.max() == mesh.num_nodes - 1
