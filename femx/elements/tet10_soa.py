@@ -37,17 +37,26 @@ def chat_numpy(C: np.ndarray) -> np.ndarray:
 
 
 def coords_soa(points: np.ndarray, conn: np.ndarray, dtype) -> np.ndarray:
-    """(10, 3, E) element coordinates, element axis last."""
-    return np.ascontiguousarray(
-        np.transpose(points[conn], (1, 2, 0)).astype(dtype)
-    )
+    """(10, 3, E) element coordinates, element axis last.
+
+    Gathers from a transposed (3, N) copy so the output's minor (element)
+    axis is written contiguously — gathering (E, 10, 3) and transposing
+    costs ~8 s at 331k elements (strided 80 MB copy); this form is ~0.5 s.
+    """
+    ptsT = np.ascontiguousarray(points.T.astype(dtype))  # (3, N)
+    return np.ascontiguousarray(np.transpose(ptsT[:, conn.T], (1, 0, 2)))
 
 
 def dof_table(conn: np.ndarray) -> np.ndarray:
     """(30, E) int32 global DOF index per (local node-major/xyz-minor) slot."""
-    E = conn.shape[0]
-    dofs = (3 * conn[:, :, None] + np.arange(3)).reshape(E, 30)
-    return np.ascontiguousarray(dofs.T.astype(np.int32))
+    connT = conn.T  # (10, E) view
+    out = np.empty((30, conn.shape[0]), dtype=np.int32)
+    for s in range(10):
+        base = (3 * connT[s]).astype(np.int32)
+        out[3 * s] = base
+        out[3 * s + 1] = base + 1
+        out[3 * s + 2] = base + 2
+    return out
 
 
 def geometry(coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
