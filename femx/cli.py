@@ -201,8 +201,9 @@ def main(argv=None) -> int:
 
             _, vm = fa.compute_stresses()
             imax = int(np.argmax(vm))
+            x, y, z = (float(v) for v in fa.points[imax])
             print(f"Max von Mises stress: {vm[imax] / 1e6:.4f} MPa at node "
-                  f"{imax} {tuple(np.round(fa.points[imax], 6))}")
+                  f"{imax} ({x:g}, {y:g}, {z:g})")
         if args.modal:
             import numpy as np
 
