@@ -64,3 +64,29 @@ def test_block_jacobi_degenerate_node_is_finite():
     assert np.all(np.isfinite(z))
     # orphan block acts as identity
     np.testing.assert_allclose(z[-3:], np.asarray(r)[-3:], rtol=1e-12)
+
+
+def test_coords_soa_and_dof_table_match_naive_forms():
+    """The layout-optimized geometry-table builders must equal the naive
+    gather-then-transpose formulations bit-for-bit (they replaced an ~8 s
+    strided copy at 331k elements)."""
+    from femx.elements.tet10_soa import coords_soa, dof_table
+    from femx.mesh import box_tet10
+
+    mesh = box_tet10(0.3, 0.2, 0.4, 0.1)
+    pts = np.asarray(mesh.points)
+    conn = np.asarray(mesh.cells["tetra10"])
+    rng = np.random.default_rng(3)
+    relabel = rng.permutation(len(pts))
+    pts_s = np.empty_like(pts)
+    pts_s[relabel] = pts
+    conn_s = relabel[conn]
+
+    for dt in (np.float32, np.float64):
+        ref = np.ascontiguousarray(
+            np.transpose(pts_s[conn_s], (1, 2, 0)).astype(dt))
+        np.testing.assert_array_equal(coords_soa(pts_s, conn_s, dt), ref)
+    ref_dofs = np.ascontiguousarray(
+        (3 * conn_s[:, :, None] + np.arange(3)).reshape(len(conn_s), 30)
+        .T.astype(np.int32))
+    np.testing.assert_array_equal(dof_table(conn_s), ref_dofs)
