@@ -92,8 +92,37 @@ def _mg_cache_save(key: str, payload: dict) -> None:
         os.close(fd)
         np.savez(tmp, **payload)
         os.replace(tmp, os.path.join(d, f"hier_{key}.npz"))
+        _mg_cache_trim(d)
     except OSError:
         pass  # cache is best-effort; solves proceed without it
+
+
+def _mg_cache_trim(d: str, cap_bytes: int = 8 << 30) -> None:
+    """Drop least-recently-used entries once the cache exceeds `cap_bytes`
+    (large-grid hierarchies run hundreds of MB each; FEMX_MG_CACHE_GB
+    overrides the 8 GB default)."""
+    cap = int(float(os.environ.get("FEMX_MG_CACHE_GB", 0)) * 2**30) or cap_bytes
+    entries = []
+    total = 0
+    for name in os.listdir(d):
+        if not (name.startswith("hier_") and name.endswith(".npz")):
+            continue
+        p = os.path.join(d, name)
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        entries.append((st.st_atime, st.st_size, p))
+        total += st.st_size
+    entries.sort()  # oldest access first
+    for _, size, p in entries:
+        if total <= cap:
+            break
+        try:
+            os.remove(p)
+            total -= size
+        except OSError:
+            pass
 
 
 # ---------------------------------------------------------------------------
