@@ -253,6 +253,17 @@ class SolidReactionAnalysis:
             if self._solve_distributed():
                 self.stage_times["solve"] = time.perf_counter() - t0
                 return
+        elif (self.devices or 0) > 1:
+            # Unstructured meshes: the z-slab machinery exists at library
+            # level (femx.parallel.tg_sharded, block-Jacobi PCG) but the
+            # single-device lattice-MG path needs ~100x fewer iterations,
+            # so it stays the product route; say so instead of silently
+            # ignoring devices=.
+            self._log(f"   - devices={self.devices} requested but the mesh "
+                      "is unstructured; using the single-device lattice-MG "
+                      "path (z-slab distribution covers structured meshes; "
+                      "femx.parallel.tg_sharded is the library-level "
+                      "sharded-unstructured fallback).")
         if self._structured:
             dtype = self.operator.Kcell.dtype
             # structured operator runs in its internal phase-major layout
