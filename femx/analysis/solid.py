@@ -254,16 +254,9 @@ class SolidReactionAnalysis:
                 self.stage_times["solve"] = time.perf_counter() - t0
                 return
         elif (self.devices or 0) > 1:
-            # Unstructured meshes: the z-slab machinery exists at library
-            # level (femx.parallel.tg_sharded, block-Jacobi PCG) but the
-            # single-device lattice-MG path needs ~100x fewer iterations,
-            # so it stays the product route; say so instead of silently
-            # ignoring devices=.
-            self._log(f"   - devices={self.devices} requested but the mesh "
-                      "is unstructured; using the single-device lattice-MG "
-                      "path (z-slab distribution covers structured meshes; "
-                      "femx.parallel.tg_sharded is the library-level "
-                      "sharded-unstructured fallback).")
+            if self._solve_distributed_unstructured():
+                self.stage_times["solve"] = time.perf_counter() - t0
+                return
         if self._structured:
             dtype = self.operator.Kcell.dtype
             # structured operator runs in its internal phase-major layout
@@ -490,6 +483,66 @@ class SolidReactionAnalysis:
         # keep a preconditioner for modal() parity with the single-chip path
         self._precond = ("st_bj", [jnp.asarray(b)
                                    for b in op.block_jacobi_tensors()])
+        return True
+
+    def _solve_distributed_unstructured(self) -> bool:
+        """z-slab-distributed UNSTRUCTURED solve: sharded transpose-gather
+        apply + the distributed lattice-MG preconditioner
+        (femx.parallel.tg_lattice). Returns False (with a log line) when
+        the mesh/device setup can't slab-distribute, so solve() falls back
+        to the single-device lattice-MG path."""
+        from femx.assembly_tg import SolidOperatorTG
+
+        if not isinstance(self.operator, SolidOperatorTG):
+            self._log("   - devices= requested but the generic operator is "
+                      "in use; single-device path.")
+            return False
+        mask_g = np.asarray(self.constraints.free_mask(), dtype=np.float64)
+        dtype = np.dtype(self.operator.dtype).type
+        try:
+            from jax.sharding import Mesh as _JMesh
+
+            from femx.parallel.tg_lattice import DistributedUnstructuredSolver
+
+            ndev = int(self.devices)
+            devs = jax.devices()
+            if len(devs) < ndev:
+                raise ValueError(
+                    f"devices={ndev} requested, {len(devs)} available")
+            dmesh = _JMesh(np.array(devs[:ndev]), ("z",))
+            solver = DistributedUnstructuredSolver.build(
+                self.points, self.tetra10_conn, self.E, self.v, mask_g,
+                dmesh, dtype=dtype)
+            # f32 inner tolerance floor mirrors the single-device path
+            # (a pure-f32 recurrence can't certify much below 1e-5 rel)
+            tol = (max(self.cg_tol, 1e-5)
+                   if np.dtype(dtype) == np.float32 else self.cg_tol)
+            x, it, res, ok = solver.solve(self.f * mask_g, tol=tol,
+                                          maxiter=10000)
+        except ValueError as e:
+            self._log(f"   - Distributed unstructured solve unavailable "
+                      f"({e}); using the single-device path.")
+            return False
+        self.u = x
+        self.solve_info = {
+            "method": "tg_distributed_lattice_mg_pcg",
+            "iterations": int(it),
+            "residual": float(res),
+            "converged": bool(ok),
+            "devices": int(self.devices),
+            "lattice_cells": tuple(solver.n_cells),
+        }
+        self._log(f"   - System solved on {self.devices} devices "
+                  f"(tg_distributed_lattice_mg_pcg, {int(it)} iterations).")
+        # reactions + downstream state through the single-device operator
+        op = self.operator.with_free_mask(
+            jnp.asarray(self.operator.to_internal(mask_g),
+                        dtype=self.operator.dtype))
+        self.operator = op
+        r_op = op.astype(np.asarray(x).dtype)
+        self.reaction_forces = r_op.to_global(
+            np.asarray(r_op.apply(jnp.asarray(r_op.to_internal(x)))))
+        self._precond = ("bj", op.soa.block_jacobi_tensors())
         return True
 
     def compute_stresses(self):

@@ -69,11 +69,18 @@ class ShardedTGOperator:
     # host-side layout
     zperm: np.ndarray  # rank -> original node id
     rank_of: np.ndarray  # original node id -> rank
+    bounds: np.ndarray  # (ndev + 1,) rank interval owned by each device
 
     @classmethod
     def from_mesh(cls, points, conn, E_mod, nu, mesh: Mesh, axis: str = "z",
                   weight: float = None, dtype=np.float32,
-                  free_mask_global: Optional[np.ndarray] = None):
+                  free_mask_global: Optional[np.ndarray] = None,
+                  rank_bounds: Optional[np.ndarray] = None):
+        """rank_bounds: optional (ndev+1,) nondecreasing rank boundaries
+        (bounds[0]=0, bounds[-1]=N): device d owns z-sorted ranks
+        [bounds[d], bounds[d+1]). Default: equal-count slabs. A custom
+        partition lets callers align mesh slabs with an auxiliary
+        structured lattice (femx.parallel.tg_lattice)."""
         if weight is None:
             weight = GAUSS_WEIGHT_CORRECT
         points = np.asarray(points, dtype=np.float64)
@@ -85,8 +92,16 @@ class ShardedTGOperator:
         # ---- z-sorted slab ownership ----------------------------------
         zperm = np.argsort(points[:, 2], kind="stable")  # rank -> node
         rank_of = np.argsort(zperm, kind="stable")  # node -> rank
-        Nl = -(-N // ndev)  # ceil
-        owner_node = np.minimum(rank_of // Nl, ndev - 1)
+        if rank_bounds is None:
+            Nl = -(-N // ndev)  # ceil
+            bounds = np.minimum(np.arange(ndev + 1) * Nl, N)
+        else:
+            bounds = np.asarray(rank_bounds, dtype=np.int64)
+            assert bounds.shape == (ndev + 1,) and bounds[0] == 0 \
+                and bounds[-1] == N and (np.diff(bounds) >= 0).all()
+            Nl = max(1, int(np.diff(bounds).max()))
+        owner_node = np.clip(
+            np.searchsorted(bounds, rank_of, side="right") - 1, 0, ndev - 1)
         ranks_e = rank_of[conn]  # (E, 10)
         owner_e = owner_node[conn].min(axis=1)
         span = owner_node[conn].max(axis=1) - owner_e
@@ -98,13 +113,15 @@ class ShardedTGOperator:
         # ---- per-device element lists + ghosts ------------------------
         elems = [np.where(owner_e == d)[0] for d in range(ndev)]
         E_max = max(1, max(len(e) for e in elems))
-        lo = np.arange(ndev) * Nl
-        hi = lo + Nl
+        lo = bounds[:-1]
+        hi = bounds[1:]
         ghosts: List[np.ndarray] = []
         for d in range(ndev):
             r = ranks_e[elems[d]].reshape(-1)
             gh = np.unique(r[(r < lo[d]) | (r >= hi[d])])
-            assert ((gh >= lo[d] - Nl) & (gh < hi[d] + Nl)).all()
+            nb_lo = lo[d - 1] if d > 0 else 0
+            nb_hi = hi[d + 1] if d + 1 < ndev else N
+            assert ((gh >= nb_lo) & (gh < nb_hi)).all()
             # order: [from d-1 (ascending) | from d+1 (ascending)] so a
             # neighbor's send concatenates straight into the slot block
             ghosts.append(np.concatenate([gh[gh < lo[d]], gh[gh >= hi[d]]]))
@@ -221,7 +238,7 @@ class ShardedTGOperator:
             send_up_st=jnp.asarray(send_up), send_dn_st=jnp.asarray(send_dn),
             g_dn=g_dn,
             mask_st=jnp.asarray(mask_st), binv_st=jnp.asarray(binv_st),
-            zperm=zperm, rank_of=rank_of,
+            zperm=zperm, rank_of=rank_of, bounds=np.asarray(bounds),
         )
 
     @staticmethod
@@ -246,12 +263,17 @@ class ShardedTGOperator:
         """(3N,) mesh-order vector -> (ndev, Nl, 3) owned-stacked."""
         v3 = np.asarray(v_global).reshape(self.n_nodes, 3)[self.zperm]
         out = np.zeros((self.ndev, self.Nl, 3), dtype=v3.dtype)
-        flat = out.reshape(self.ndev * self.Nl, 3)
-        flat[:self.n_nodes] = v3
+        for d in range(self.ndev):
+            n_own = self.bounds[d + 1] - self.bounds[d]
+            out[d, :n_own] = v3[self.bounds[d]:self.bounds[d + 1]]
         return out
 
     def gather(self, v_st: np.ndarray) -> np.ndarray:
-        v3 = np.asarray(v_st).reshape(self.ndev * self.Nl, 3)[:self.n_nodes]
+        v_st = np.asarray(v_st)
+        v3 = np.empty((self.n_nodes, 3), dtype=v_st.dtype)
+        for d in range(self.ndev):
+            n_own = self.bounds[d + 1] - self.bounds[d]
+            v3[self.bounds[d]:self.bounds[d + 1]] = v_st[d, :n_own]
         out = np.empty_like(v3)
         out[self.zperm] = v3
         return out.reshape(-1)

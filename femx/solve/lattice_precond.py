@@ -66,6 +66,48 @@ def _even_cells(n: float) -> int:
     return max(2, int(2 * round(float(n) / 2.0)))
 
 
+def build_lattice_activity_mask(pts, mu, lo, half_h, gs) -> np.ndarray:
+    """(Px, Py, Pz, 3) free-mask for the auxiliary lattice.
+
+    Activate EXACTLY the support of P restricted to free mesh DOFs:
+    component c of a lattice corner is active iff some free mesh DOF
+    (n, c) interpolates from it with nonzero trilinear weight. A
+    superset (an earlier revision dilated to the 27-neighborhood of
+    every snapped mesh node) is actively HARMFUL, not just wasteful:
+    unsupported lattice DOFs couple through the lattice stiffness and
+    soften the coarse correction on range(P^T) — measured to DOUBLE
+    outer PCG iterations (76 vs 35 on the 8k-DOF diagnostic, with an
+    EXACT lattice inverse either way, i.e. the mask rule — not
+    V-cycle accuracy — was the entire gap).
+
+    Dirichlet: a mesh node with component c fixed fixes component c of
+    the corners that actually support it (w > 0; boundary nodes lie
+    exactly on lattice planes, so half their corners carry w = 0 and
+    must NOT be fixed — fixing them kills the correction in the first
+    half-cell layer above the boundary). Overrides support activation.
+    """
+    gs = tuple(int(g) for g in gs)
+    mask_l = np.zeros((gs[0], gs[1], gs[2], 3))
+    t = (np.asarray(pts) - np.asarray(lo)[None, :]) / np.asarray(half_h)[None, :]
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, np.asarray(gs) - 2)
+    fr = np.clip(t - i0, 0.0, 1.0)
+    for keep in (True, False):  # activate free support, then fix Dirichlet
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    q = i0 + np.array([dx, dy, dz])
+                    w = ((fr[:, 0] if dx else 1.0 - fr[:, 0])
+                         * (fr[:, 1] if dy else 1.0 - fr[:, 1])
+                         * (fr[:, 2] if dz else 1.0 - fr[:, 2]))
+                    sup = w > 1e-12
+                    for c in range(3):
+                        sel = sup & ((mu[:, c] > 0.5) if keep
+                                     else (mu[:, c] < 0.5))
+                        mask_l[q[sel, 0], q[sel, 1], q[sel, 2], c] = (
+                            1.0 if keep else 0.0)
+    return mask_l
+
+
 @dataclasses.dataclass
 class LatticeTransfer:
     """Trilinear P (lattice internal layout <-> mesh nodes) as gather data.
@@ -500,51 +542,8 @@ class LatticePreconditioner:
         gs = op.grid_shape
         half_h = np.asarray(spacing) / 2.0
 
-        # --- lattice activity mask (global raster order) -------------------
-        # Activate EXACTLY the support of P restricted to free mesh DOFs:
-        # component c of a lattice corner is active iff some free mesh DOF
-        # (n, c) interpolates from it with nonzero trilinear weight. A
-        # superset (an earlier revision dilated to the 27-neighborhood of
-        # every snapped mesh node) is actively HARMFUL, not just wasteful:
-        # unsupported lattice DOFs couple through the lattice stiffness and
-        # soften the coarse correction on range(P^T) — measured to DOUBLE
-        # outer PCG iterations (76 vs 35 on the 8k-DOF diagnostic, with an
-        # EXACT lattice inverse either way, i.e. the mask rule — not
-        # V-cycle accuracy — was the entire gap).
-        mask_l = np.zeros((gs[0], gs[1], gs[2], 3))
         mu = np.asarray(free_mask_global).reshape(self.n_nodes, 3)
-        t = (pts - lo[None, :]) / half_h[None, :]
-        i0 = np.clip(np.floor(t).astype(np.int64), 0, np.asarray(gs) - 2)
-        fr = np.clip(t - i0, 0.0, 1.0)
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    q = i0 + np.array([dx, dy, dz])
-                    w = ((fr[:, 0] if dx else 1.0 - fr[:, 0])
-                         * (fr[:, 1] if dy else 1.0 - fr[:, 1])
-                         * (fr[:, 2] if dz else 1.0 - fr[:, 2]))
-                    sup = w > 1e-12
-                    for c in range(3):
-                        sel = sup & (mu[:, c] > 0.5)
-                        mask_l[q[sel, 0], q[sel, 1], q[sel, 2], c] = 1.0
-        # Dirichlet: a mesh node with component c fixed fixes component c of
-        # the corners that actually support it (w > 0; boundary nodes lie
-        # exactly on lattice planes, so half their corners carry w = 0 and
-        # must NOT be fixed — fixing them kills the correction in the first
-        # half-cell layer above the boundary, which was worth the entire
-        # 76-vs-35 outer-iteration gap together with the dilation above).
-        # Overrides support activation.
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    q = i0 + np.array([dx, dy, dz])
-                    w = ((fr[:, 0] if dx else 1.0 - fr[:, 0])
-                         * (fr[:, 1] if dy else 1.0 - fr[:, 1])
-                         * (fr[:, 2] if dz else 1.0 - fr[:, 2]))
-                    sup = w > 1e-12
-                    for c in range(3):
-                        fixed = sup & (mu[:, c] < 0.5)
-                        mask_l[q[fixed, 0], q[fixed, 1], q[fixed, 2], c] = 0.0
+        mask_l = build_lattice_activity_mask(pts, mu, lo, half_h, gs)
 
         self.mg = StructuredMultigrid(
             None, self.n_cells, E, nu, mask_l.reshape(-1),
