@@ -523,9 +523,46 @@ class SolidReactionAnalysis:
             self._log(f"   - Distributed unstructured solve unavailable "
                       f"({e}); using the single-device path.")
             return False
+        method = "tg_distributed_lattice_mg_pcg"
+        if np.dtype(dtype) == np.float32 and self.cg_tol < 1e-5:
+            # adaptive guarded f64 refinement around the distributed f32
+            # inner solves (the parallel.driver scheme; residual evaluated
+            # by the f64 single-device operator — one apply per pass)
+            opm = self.operator.with_free_mask(
+                jnp.asarray(self.operator.to_internal(mask_g),
+                            dtype=self.operator.dtype))
+            op64 = opm.astype(np.float64)
+            f64_int = jnp.asarray(op64.to_internal(self.f * mask_g))
+            bnorm = float(jnp.linalg.norm(f64_int)) or 1.0
+            x_int = jnp.asarray(op64.to_internal(x), dtype=jnp.float64)
+            rn_prev = np.inf
+            total_it = int(it)
+            for _ in range(4):
+                r_int = f64_int - op64.apply_constrained(x_int)
+                rn = float(jnp.linalg.norm(r_int)) / bnorm
+                if rn <= self.cg_tol or rn >= rn_prev:
+                    break
+                rn_prev = rn
+                d, it_c, _res_c, _okc = solver.solve(
+                    op64.to_global(np.asarray(r_int)), tol=tol,
+                    maxiter=10000)
+                x_new = x_int + jnp.asarray(op64.to_internal(d))
+                rn_new = float(jnp.linalg.norm(
+                    f64_int - op64.apply_constrained(x_new))) / bnorm
+                total_it += int(it_c)
+                if rn_new < rn:
+                    x_int = x_new
+                else:
+                    break  # past the f64 floor; keep the better iterate
+            res = float(jnp.linalg.norm(
+                f64_int - op64.apply_constrained(x_int))) / bnorm
+            x = op64.to_global(np.asarray(x_int))
+            it = total_it
+            ok = res <= self.cg_tol
+            method += "_refined"
         self.u = x
         self.solve_info = {
-            "method": "tg_distributed_lattice_mg_pcg",
+            "method": method,
             "iterations": int(it),
             "residual": float(res),
             "converged": bool(ok),

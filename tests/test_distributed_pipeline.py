@@ -149,3 +149,45 @@ def test_pipeline_devices_unstructured_distributed():
     scale = np.abs(ref.u).max()
     np.testing.assert_allclose(dist.u, ref.u, atol=scale * 1e-6)
     assert np.abs(dist.equilibrium_residual()).max() < 1e-6
+
+
+def test_pipeline_devices_unstructured_f32_refined():
+    """float32 distributed unstructured solves refine to the requested f64
+    tolerance (driver-style guarded refinement around the f32 inner
+    solves)."""
+    h = 0.1
+    cells = (4, 4, 16)
+    mesh = box_tet10_from_cells(cells, (h, h, h))
+    rng = np.random.default_rng(9)
+    relabel = rng.permutation(mesh.num_nodes)
+    pts = np.empty_like(mesh.points)
+    pts[relabel] = mesh.points
+    conn = relabel[np.asarray(mesh.cells["tetra10"])]
+    from femx.mesh.core import Mesh as FMesh
+    umesh = FMesh(points=pts, cells={"tetra10": conn},
+                  cell_physical={"tetra10": np.ones(len(conn), np.int32)},
+                  field_data={"box": (1, 3)})
+
+    zmax = pts[:, 2].max()
+    fixes = [{"pos_x": p[0], "pos_y": p[1], "pos_z": 0.0,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for p in [(0, 0), (0, cells[1] * h), (cells[0] * h, 0),
+                       (cells[0] * h, cells[1] * h)]]
+    forces = [{"force_x": 0, "force_y": -500.0, "force_z": 0,
+               "force_x_pstn": cells[0] * h / 2,
+               "force_y_pstn": cells[1] * h / 2, "force_z_pstn": zmax}]
+
+    dist = SolidReactionAnalysis(umesh, forces, fixes, E=2e11, v=0.3,
+                                 verbose=False, devices=8, cg_tol=1e-8,
+                                 dtype=np.float32).run_simulation()
+    assert dist.solve_info["method"] == "tg_distributed_lattice_mg_pcg_refined"
+    assert dist.solve_info["converged"], dist.solve_info
+    assert dist.solve_info["residual"] <= 1e-8
+
+    ref = SolidReactionAnalysis(umesh, forces, fixes, E=2e11, v=0.3,
+                                verbose=False, cg_tol=1e-8,
+                                dtype=np.float64).run_simulation()
+    scale = np.abs(ref.u).max()
+    # residual <= 1e-8 bounds the energy-norm error; small components can
+    # carry ~1e-6 relative noise from the f32 inner solves
+    np.testing.assert_allclose(dist.u, ref.u, atol=scale * 1e-5)
