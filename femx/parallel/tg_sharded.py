@@ -22,7 +22,11 @@ ValueError otherwise and callers fall back to the single-device path.
 The full CG loop runs inside ONE shard_map (pcg_tg_sharded) with
 ownership-disjoint psum dot products and a slab-local block-Jacobi
 preconditioner built from the FULL operator's nodal blocks (so interface
-blocks are complete, not slab-truncated).
+blocks are complete, not slab-truncated). pcg_tg_sharded is the
+minimal-preconditioning form; the PRODUCTION distributed unstructured
+solve couples this operator with the distributed lattice-MG V-cycle in
+femx.parallel.tg_lattice (~20x fewer iterations, reachable via
+SolidReactionAnalysis(devices=N)).
 """
 
 from __future__ import annotations
