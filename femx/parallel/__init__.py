@@ -12,11 +12,16 @@ from femx.parallel.ops import (
     pad_elements,
 )
 from femx.parallel.structured import ShardedStructuredOperator
+from femx.parallel.tg_sharded import ShardedTGOperator, pcg_tg_sharded
+from femx.parallel.tg_lattice import DistributedUnstructuredSolver
 
 __all__ = [
     "DistributedMultigrid",
+    "DistributedUnstructuredSolver",
     "HaloStructuredOperator",
+    "ShardedTGOperator",
     "pcg_halo",
+    "pcg_tg_sharded",
     "ShardedSolidOperator",
     "ShardedStructuredOperator",
     "batched_solve_cg",
