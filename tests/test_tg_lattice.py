@@ -107,3 +107,43 @@ def test_distributed_solve_collectives_are_surface_sized(problem):
         n = int(np.prod(dims)) if dims else 1
         assert n < ndof_local / 2 or n <= coarse_ndof, (
             m.group(0)[:120], n, ndof_local, coarse_ndof)
+
+
+def test_distributed_transfer_adjointness(problem):
+    """<P e, r>_mesh == <e, P^T r>_lattice globally — the exact-adjoint
+    property that keeps the additive preconditioner SPD (ownership dots on
+    the mesh side; lattice dot weights shared planes by ownership)."""
+    pts, conn, mask, f = problem
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    solver = DistributedUnstructuredSolver.build(
+        pts, conn, 2e11, 0.3, mask, dmesh, dtype=np.float64)
+    top = solver.top
+    halo0 = solver.dmg.halo
+    ax = solver.axis
+
+    rng = np.random.default_rng(0)
+    r_mesh = rng.standard_normal(3 * len(pts))
+    e_latt = rng.standard_normal(halo0.op.ndof)
+
+    r_st = jnp.asarray(top.scatter(r_mesh))
+    e_st = jnp.asarray(halo0.scatter(e_latt))  # ghost-consistent slabs
+    own_st = jnp.asarray(halo0.ownership_weights())
+    tg_args, tr_args = solver._stacked_args()
+
+    def kernel(r_b, e_b, own_b, tr_b):
+        r_own, e_loc, own = r_b[0], e_b[0], own_b[0]
+        ii, iw, ridx, rw, _lm = jax.tree.map(lambda a: a[0], tr_b)
+        Pe = solver._interp_local(e_loc, ii, iw)  # (Nl, 3)
+        lhs = jax.lax.psum(jnp.vdot(Pe, r_own), ax)
+        Ptr = solver._restrict_local(r_own, ridx, rw)
+        phases = halo0.local._split_phases(Ptr)
+        Ptr = halo0.local._join_phases(
+            halo0._halo_reduce_and_sync(phases))
+        rhs = jax.lax.psum(jnp.vdot(Ptr * own, e_loc), ax)
+        return lhs, rhs
+
+    spec = P("z")
+    lhs, rhs = jax.jit(jax.shard_map(
+        kernel, mesh=dmesh, in_specs=(spec, spec, spec, spec),
+        out_specs=(P(), P())))(r_st, e_st, own_st, tr_args)
+    assert abs(float(lhs) - float(rhs)) <= 1e-10 * max(1.0, abs(float(lhs)))
