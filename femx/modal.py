@@ -162,6 +162,7 @@ def modal_shift_invert(
     key=None,
     dtype=None,
     solver_state=None,
+    jit_inner: bool = True,
 ) -> ModalResult:
     """Shift-invert Lanczos for the smallest modes of K v = lambda M v.
 
@@ -225,11 +226,24 @@ def modal_shift_invert(
         def lanczos_iter(V, j, d_):
             return _lanczos_iter_pcg(V, j, d_, s_op, s_pre,
                                      inner_tol=s_tol, inner_maxiter=s_maxit)
-    else:
+    elif jit_inner:
         @partial(jax.jit, donate_argnums=0)
         def lanczos_iter(V, j, d_):
             w = d_ * K_solve(d_ * V[j])
             w, alpha, beta = _lanczos_orth_step(V, w, j)
+            safe = jnp.where(beta > 0, beta, 1.0)
+            V = V.at[j + 1].set(w / safe)
+            return V, alpha, beta
+    else:
+        # eager iteration for HOST-ORCHESTRATED inner solvers (e.g. the
+        # distributed pcg_halo wrapper, femx.parallel.modal) — K_solve is
+        # not traceable; the recurrence/orthogonalization steps still run
+        # as jitted helpers
+        _orth_j = jax.jit(_lanczos_orth_step)
+
+        def lanczos_iter(V, j, d_):
+            w = d_ * K_solve(d_ * V[j])
+            w, alpha, beta = _orth_j(V, w, j)
             safe = jnp.where(beta > 0, beta, 1.0)
             V = V.at[j + 1].set(w / safe)
             return V, alpha, beta

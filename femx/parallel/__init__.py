@@ -14,6 +14,7 @@ from femx.parallel.ops import (
 from femx.parallel.structured import ShardedStructuredOperator
 from femx.parallel.tg_sharded import ShardedTGOperator, pcg_tg_sharded
 from femx.parallel.tg_lattice import DistributedUnstructuredSolver
+from femx.parallel.modal import modal_shift_invert_halo
 
 __all__ = [
     "DistributedMultigrid",
@@ -22,6 +23,7 @@ __all__ = [
     "ShardedTGOperator",
     "pcg_halo",
     "pcg_tg_sharded",
+    "modal_shift_invert_halo",
     "ShardedSolidOperator",
     "ShardedStructuredOperator",
     "batched_solve_cg",
