@@ -655,6 +655,47 @@ class SolidReactionAnalysis:
 
             m_int = op.lumped_mass_diagonal(rho)
 
+            if (self.devices or 0) > 1 and not refine:
+                # devices= extends to modal: inner K-solves run z-slab-
+                # distributed (femx.parallel.modal). The hierarchy is a
+                # disk-cache hit after solve(); fall back on ValueError
+                # (refine=True keeps the single-device accurate-solve path).
+                try:
+                    from jax.sharding import Mesh as _JMesh
+
+                    from femx.parallel.halo import DistributedMultigrid
+                    from femx.parallel.modal import modal_shift_invert_halo
+
+                    mask_g = self.constraints.free_mask()
+                    info = self.mesh.structured
+                    mg = StructuredMultigrid(
+                        None, info.n_cells, self.E, self.v, mask_g,
+                        weight=self.weight,
+                        dtype=np.dtype(op.Kcell.dtype).type,
+                        fine_op=op, spacing=info.spacing)
+                    devs = jax.devices()
+                    dmesh = _JMesh(np.array(devs[:int(self.devices)]),
+                                   ("z",))
+                    dmg = DistributedMultigrid(mg, dmesh)
+                    res = modal_shift_invert_halo(
+                        dmg, m_int, op.free_mask, n_modes=n_modes,
+                        tol=tol, maxiter=maxiter, inner_tol=inner_tol)
+                    modes_g = np.stack(
+                        [op.to_global(np.asarray(res.modes[:, j]))
+                         for j in range(res.modes.shape[1])], axis=1)
+                    self.modal_result = ModalResult(
+                        omega=res.omega, modes=jnp.asarray(modes_g),
+                        iterations=res.iterations)
+                    self._log(
+                        f"   - Modal ({self.devices} devices): f = "
+                        + ", ".join(f"{w / (2 * np.pi):.3f}"
+                                    for w in np.asarray(res.omega))
+                        + " Hz")
+                    return self.modal_result
+                except ValueError as e:
+                    self._log(f"   - Distributed modal unavailable ({e}); "
+                              "single-device inner solves.")
+
             # maxiter is a bound, not a cost: the while_loop exits on
             # convergence (MG needs ~20; block-Jacobi fallback needs
             # thousands at tight tolerances)

@@ -59,3 +59,33 @@ def test_distributed_modal_matches_single_device():
     for j in range(n_modes):
         c = float(md[:, j] @ (np.asarray(m_int) * m1[:, j]))
         np.testing.assert_allclose(abs(c), 1.0, atol=1e-5)
+
+
+def test_pipeline_modal_devices():
+    """SolidReactionAnalysis(devices=N).modal() uses the distributed inner
+    solver and matches the single-device pipeline modal frequencies."""
+    from femx.analysis import SolidReactionAnalysis
+
+    cells = (4, 4, 16)
+    h = 0.05
+    mesh = box_tet10_from_cells(cells, (h, h, h))
+    zmax = float(mesh.points[:, 2].max())
+    fixes = [{"pos_x": p[0], "pos_y": p[1], "pos_z": 0.0,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for p in [(0, 0), (0, cells[1] * h), (cells[0] * h, 0),
+                       (cells[0] * h, cells[1] * h)]]
+    forces = [{"force_x": 0, "force_y": -500.0, "force_z": 0,
+               "force_x_pstn": cells[0] * h / 2,
+               "force_y_pstn": cells[1] * h / 2, "force_z_pstn": zmax}]
+
+    def run(devices=None):
+        fa = SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                                   verbose=False, devices=devices,
+                                   cg_tol=1e-10)
+        fa.run_simulation()
+        return fa.modal(n_modes=3, tol=1e-7, inner_tol=1e-9)
+
+    m1 = run()
+    md = run(devices=8)
+    np.testing.assert_allclose(np.asarray(md.omega), np.asarray(m1.omega),
+                               rtol=1e-5)
