@@ -523,6 +523,7 @@ class SolidReactionAnalysis:
             self._log(f"   - Distributed unstructured solve unavailable "
                       f"({e}); using the single-device path.")
             return False
+        self._dist_usolver = solver  # reused by modal(devices=N)
         method = "tg_distributed_lattice_mg_pcg"
         if np.dtype(dtype) == np.float32 and self.cg_tol < 1e-5:
             # adaptive guarded f64 refinement around the distributed f32
@@ -768,6 +769,39 @@ class SolidReactionAnalysis:
             free_mask = np.asarray(op.free_mask)
             precond = getattr(self, "_precond", None)
             from femx.solve.lattice_precond import LatticePreconditioner
+
+            dist_solver = getattr(self, "_dist_usolver", None)
+            if (self.devices or 0) > 1 and is_tg and dist_solver is not None \
+                    and not refine:
+                # devices= extends to unstructured modal: each inner
+                # K-solve is one distributed lattice-MG solve (the solver
+                # built by solve(); refine=True keeps the single-device
+                # accurate path).
+                def k_solve_d(b):
+                    x, _it, res_i, ok_i = dist_solver.solve(
+                        op.to_global(np.asarray(b)), tol=inner_tol,
+                        maxiter=10000)
+                    if not ok_i and not np.isfinite(res_i):
+                        raise RuntimeError(
+                            f"distributed inner solve diverged: {res_i}")
+                    return jnp.asarray(op.to_internal(x), dtype=dtype)
+
+                res = modal_shift_invert(
+                    k_solve_d, m_use, free_mask, n_modes=n_modes, tol=tol,
+                    maxiter=maxiter, dtype=dtype, jit_inner=False)
+                modes = np.stack(
+                    [op.to_global(np.asarray(res.modes[:, i]))
+                     for i in range(res.modes.shape[1])], axis=1)
+                self.modal_result = ModalResult(
+                    omega=res.omega, modes=jnp.asarray(modes),
+                    iterations=res.iterations)
+                self._log(
+                    f"   - Modal ({self.devices} devices, unstructured): "
+                    "f = "
+                    + ", ".join(f"{w / (2 * np.pi):.3f}"
+                                for w in np.asarray(res.omega))
+                    + " Hz")
+                return self.modal_result
 
             state = None
             if is_tg and isinstance(precond, LatticePreconditioner):

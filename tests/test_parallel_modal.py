@@ -89,3 +89,42 @@ def test_pipeline_modal_devices():
     md = run(devices=8)
     np.testing.assert_allclose(np.asarray(md.omega), np.asarray(m1.omega),
                                rtol=1e-5)
+
+
+def test_pipeline_modal_devices_unstructured():
+    """modal(devices=N) on an UNSTRUCTURED mesh runs distributed
+    lattice-MG inner solves and matches the single-device frequencies."""
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh.core import Mesh as FMesh
+
+    cells = (4, 4, 16)
+    h = 0.1
+    mesh0 = box_tet10_from_cells(cells, (h, h, h))
+    rng = np.random.default_rng(13)
+    relabel = rng.permutation(mesh0.num_nodes)
+    pts = np.empty_like(mesh0.points)
+    pts[relabel] = mesh0.points
+    conn = relabel[np.asarray(mesh0.cells["tetra10"])]
+    umesh = FMesh(points=pts, cells={"tetra10": conn},
+                  cell_physical={"tetra10": np.ones(len(conn), np.int32)},
+                  field_data={"box": (1, 3)})
+    zmax = float(pts[:, 2].max())
+    fixes = [{"pos_x": p[0], "pos_y": p[1], "pos_z": 0.0,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for p in [(0, 0), (0, cells[1] * h), (cells[0] * h, 0),
+                       (cells[0] * h, cells[1] * h)]]
+    forces = [{"force_x": 0, "force_y": -500.0, "force_z": 0,
+               "force_x_pstn": cells[0] * h / 2,
+               "force_y_pstn": cells[1] * h / 2, "force_z_pstn": zmax}]
+
+    def run(devices=None):
+        fa = SolidReactionAnalysis(umesh, forces, fixes, E=2e11, v=0.3,
+                                   verbose=False, devices=devices,
+                                   cg_tol=1e-8)
+        fa.run_simulation()
+        return fa.modal(n_modes=3, tol=1e-7, inner_tol=1e-9)
+
+    m1 = run()
+    md = run(devices=8)
+    np.testing.assert_allclose(np.asarray(md.omega), np.asarray(m1.omega),
+                               rtol=1e-5)
