@@ -147,3 +147,21 @@ def test_distributed_transfer_adjointness(problem):
         kernel, mesh=dmesh, in_specs=(spec, spec, spec, spec),
         out_specs=(P(), P())))(r_st, e_st, own_st, tr_args)
     assert abs(float(lhs) - float(rhs)) <= 1e-10 * max(1.0, abs(float(lhs)))
+
+
+def test_distributed_solve_device_count_invariance(problem):
+    """With a lattice that slab-decomposes for every device count, the
+    iteration count must not depend on how many devices share the work
+    (the math is identical; only the partition changes)."""
+    pts, conn, mask, f = problem
+    iters = {}
+    for ndev in (2, 4, 8):
+        dmesh = Mesh(np.array(jax.devices()[:ndev]), ("z",))
+        solver = DistributedUnstructuredSolver.build(
+            pts, conn, 2e11, 0.3, mask, dmesh, dtype=np.float64)
+        assert solver.n_cells[2] == 16  # same lattice at every ndev
+        x, it, res, ok = solver.solve(f * mask, tol=1e-8, maxiter=500)
+        assert ok
+        iters[ndev] = int(it)
+    vals = list(iters.values())
+    assert max(vals) - min(vals) <= 2, iters
