@@ -54,6 +54,48 @@ def _jit_pcg_mg(fv, mg_, tol, maxiter):
 
 
 @jax.jit
+def _jit_pcg_mg_cases(F, mg_, tol, maxiter):
+    def one(fv):
+        r = pcg(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
+                tol=tol, maxiter=maxiter)
+        return r.x, r.iterations, r.residual_norm
+
+    return jax.lax.map(one, F)
+
+
+@jax.jit
+def _jit_pcg_op_precond_cases(F, op_, pre_, tol, maxiter):
+    def one(fv):
+        r = pcg(op_.apply_constrained, fv, M_inv_diag=pre_, tol=tol,
+                maxiter=maxiter)
+        return r.x, r.iterations, r.residual_norm
+
+    return jax.lax.map(one, F)
+
+
+@jax.jit
+def _jit_pcg_st_bj_cases(F, op_, binv, tol, maxiter):
+    def one(fv):
+        r = pcg(op_.apply_constrained, fv,
+                M_inv_diag=lambda v: op_.apply_block_jacobi(binv, v),
+                tol=tol, maxiter=maxiter)
+        return r.x, r.iterations, r.residual_norm
+
+    return jax.lax.map(one, F)
+
+
+@jax.jit
+def _jit_pcg_op_bj_cases(F, op_, bj_data, tol, maxiter):
+    def one(fv):
+        r = pcg(op_.apply_constrained, fv,
+                M_inv_diag=lambda v: op_.soa.apply_block_jacobi(bj_data, v),
+                tol=tol, maxiter=maxiter)
+        return r.x, r.iterations, r.residual_norm
+
+    return jax.lax.map(one, F)
+
+
+@jax.jit
 def _jit_pcg_refined_mg(fv, fv64, mg_, op64_, tol, outer_tol):
     return pcg_refined(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
                        tol=tol, refine_steps=8,
@@ -484,6 +526,85 @@ class SolidReactionAnalysis:
         self._precond = ("st_bj", [jnp.asarray(b)
                                    for b in op.block_jacobi_tensors()])
         return True
+
+    def solve_cases(self, force_cases, tol: Optional[float] = None):
+        """Solve K u = f_k for MULTIPLE independent load cases at once.
+
+        Beyond the reference (which re-runs its whole pipeline per load
+        case): the assembled operator and preconditioner from solve() are
+        reused and all cases run inside ONE compiled program
+        (`lax.map` over the stacked right-hand sides — the EP-analog
+        surfaced as a product API; SURVEY.md §2b).
+
+        Args:
+          force_cases: list of force_data lists (each in the constructor's
+            format). Fixes stay those of the analysis.
+          tol: relative residual per case (default: the analysis cg_tol;
+            float32 operators floor at 1e-5 — run the single-case solve()
+            for refined accuracy).
+        Returns (n_cases, 3N) displacements in global DOF order; per-case
+        iterations/residuals are stored as self.case_solve_info.
+        """
+        if self.u is None:
+            raise RuntimeError("Run the analysis (solve) before solve_cases().")
+        from femx import bc as bc_mod
+        from femx.solve.lattice_precond import LatticePreconditioner
+        from femx.solve.multigrid import StructuredMultigrid
+
+        op = self.operator  # free mask set by solve()
+        if self._structured:
+            dtype = np.dtype(op.Kcell.dtype)
+        elif hasattr(op, "dtype"):
+            dtype = np.dtype(op.dtype)  # transpose-gather operator
+        else:
+            dtype = np.dtype(op.dN.dtype)  # generic einsum operator
+        t = float(self.cg_tol if tol is None else tol)
+        if dtype == np.float32:
+            t = max(t, 1e-5)
+        mask_g = self.constraints.free_mask()
+        # the generic einsum operator works in global DOF order directly
+        to_int = getattr(op, "to_internal", lambda v: v)
+        to_glob = getattr(op, "to_global", lambda v: v)
+        rows = [
+            to_int(bc_mod.solid_point_loads(self.mesh, case,
+                                            self.neumann_nodes)[0] * mask_g)
+            for case in force_cases
+        ]
+        F = jnp.asarray(np.stack(rows), dtype=dtype)
+
+        pre = getattr(self, "_precond", None)
+        if isinstance(pre, StructuredMultigrid):
+            X, its, rns = _jit_pcg_mg_cases(F, pre, t, 10000)
+        elif isinstance(pre, LatticePreconditioner):
+            X, its, rns = _jit_pcg_op_precond_cases(F, op, pre, t, 10000)
+        elif isinstance(pre, tuple) and pre[0] == "st_bj":
+            X, its, rns = _jit_pcg_st_bj_cases(F, op, pre[1], t, 20000)
+        elif isinstance(pre, tuple) and pre[0] == "bj":
+            X, its, rns = _jit_pcg_op_bj_cases(F, op, pre[1], t, 20000)
+        else:
+            # generic operator (small meshes): sequential solves with the
+            # closure block-Jacobi (its captures become jit constants —
+            # fine at this scale)
+            minv = (pre if callable(pre)
+                    else op.block_jacobi_preconditioner())
+            xs, its_l, rns_l = [], [], []
+            for i in range(F.shape[0]):
+                r = pcg(op.apply_constrained, F[i], M_inv_diag=minv,
+                        tol=t, maxiter=20000)
+                xs.append(r.x)
+                its_l.append(int(r.iterations))
+                rns_l.append(float(r.residual_norm))
+            X = jnp.stack(xs)
+            its = np.asarray(its_l)
+            rns = np.asarray(rns_l)
+        U = np.stack([np.asarray(to_glob(np.asarray(X[i])))
+                      for i in range(len(force_cases))])
+        self.case_solve_info = [
+            {"iterations": int(its[i]), "residual": float(rns[i]),
+             "converged": bool(rns[i] <= t)}
+            for i in range(len(force_cases))
+        ]
+        return U
 
     def _solve_distributed_unstructured(self) -> bool:
         """z-slab-distributed UNSTRUCTURED solve: sharded transpose-gather
