@@ -165,3 +165,49 @@ def test_distributed_solve_device_count_invariance(problem):
         iters[ndev] = int(it)
     vals = list(iters.values())
     assert max(vals) - min(vals) <= 2, iters
+
+
+def test_distributed_solve_jittered_mesh():
+    """Non-grid-matched meshes (interior nodes jittered off the lattice)
+    exercise the dense trilinear weights and interval ownership; the
+    distributed solve must still match single-device."""
+    h = 0.1
+    mesh = box_tet10(0.4, 0.4, 1.6, h)
+    pts = np.asarray(mesh.points).copy()
+    conn = np.asarray(mesh.cells["tetra10"])
+    rng = np.random.default_rng(11)
+    interior = ((pts[:, 0] > 1e-9) & (pts[:, 0] < 0.4 - 1e-9)
+                & (pts[:, 1] > 1e-9) & (pts[:, 1] < 0.4 - 1e-9)
+                & (pts[:, 2] > 1e-9) & (pts[:, 2] < 1.6 - 1e-9))
+    pts[interior] += rng.uniform(-0.008, 0.008, (int(interior.sum()), 3))
+    relabel = rng.permutation(len(pts))
+    pts_s = np.empty_like(pts)
+    pts_s[relabel] = pts
+    conn_s = relabel[conn]
+    ndof = 3 * len(pts_s)
+    mask = np.ones(ndof)
+    for n in np.where(pts_s[:, 2] < 1e-9)[0]:
+        mask[3 * n:3 * n + 3] = 0
+    f = np.zeros(ndof)
+    tip = np.where(pts_s[:, 2] > 1.6 - 1e-9)[0]
+    f[3 * tip + 1] = -100.0 / len(tip)
+
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("z",))
+    solver = DistributedUnstructuredSolver.build(
+        pts_s, conn_s, 2e11, 0.3, mask, dmesh, dtype=np.float64)
+    x, it, res, ok = solver.solve(f * mask, tol=1e-8, maxiter=500)
+    assert ok and int(it) < 120, (it, res)
+
+    uop, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
+                                       dtype=np.float64)
+    uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask)))
+    lp = LatticePreconditioner(pts_s, conn_s, 2e11, 0.3, mask,
+                               dtype=np.float64, node_perm=uop.new_of_old,
+                               bj_fn=type(uop.soa).apply_block_jacobi,
+                               bj_data=uop.soa.block_jacobi_tensors())
+    ref = pcg(uop.apply_constrained, jnp.asarray(uop.to_internal(f * mask)),
+              M_inv_diag=lp, tol=1e-8, maxiter=500)
+    assert bool(ref.converged)
+    x_ref = uop.to_global(np.asarray(ref.x))
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(x * mask, x_ref * mask, atol=scale * 1e-7)
