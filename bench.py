@@ -11,12 +11,22 @@ structured gather-free lattice operator (femx.assembly_structured) +
 geometric-multigrid-preconditioned CG (femx.solve.multigrid) in float32.
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+
+Failure handling (round-4 hardening): ``main()`` never runs jax in-process.
+It (1) probes the backend in a SUBPROCESS with a hard timeout — the axon TPU
+plugin has been observed to either raise (BENCH_r03 rc=1) or hang forever
+(MULTICHIP_r03 rc=124) on ``jax.devices()`` when the relay tunnel is down —
+then (2) runs the bench body in a subprocess with a timeout and relays its
+JSON line, and (3) on any TPU failure falls back to a small-grid CPU
+correctness run, emitting a JSON line with an explicit ``"error"`` field.
+Every path ends in exactly one machine-readable JSON line on stdout.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,7 +37,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def run_bench():
     import jax
     import jax.numpy as jnp
 
@@ -179,8 +189,8 @@ def main():
     @jax.jit
     def _ks_tight(b, mg_, op64_):
         return pcg_refined(
-            mg_.fine_op.apply_constrained, jnp.asarray(b, jnp.float32),
-            M_inv_diag=mg_, tol=1e-5, maxiter=200, refine_steps=6,
+            mg_.fine_op.apply_constrained, jnp.asarray(b, dtype),
+            M_inv_diag=mg_, tol=tol, maxiter=200, refine_steps=6,
             A_residual=op64_.apply_constrained,
             b_residual=jnp.asarray(b, jnp.float64), outer_tol=1e-9).x
 
@@ -253,7 +263,15 @@ def main():
             f"({unstructured_iters} iters, res {float(rnu):.2e})")
 
     target = 2.0  # BASELINE.json north star: < 2 s at 1M DOF
+    # Set by main() when this body runs as a CPU correctness fallback after a
+    # TPU-backend failure: record the error, and report vs_baseline=0 (a CPU
+    # run proves correctness, not the TPU perf claim).
+    err = os.environ.get("FEMX_BENCH_ERROR")
     print(json.dumps({
+        **({} if not err else {
+            "error": err,
+            "fallback": f"cpu correctness run @ grid {grid} (f64)",
+        }),
         # Headline = the solve that meets BOTH north stars at once: < 2 s
         # wall AND true f64 residual <= 1e-8 (f32 MG-PCG inner solves +
         # adaptive f64 refinement). The pure-f32 warm solve (1e-5) is
@@ -262,7 +280,7 @@ def main():
         "value": round(t_refined, 4),
         "unit": (f"s @ {ndof} DOF (true residual {float(rnr):.1e}, "
                  f"{int(itr)} inner f32 MG-PCG iters)"),
-        "vs_baseline": round(target / t_refined, 3),
+        "vs_baseline": 0.0 if err else round(target / t_refined, 3),
         # honest cold/warm split: one-time host setup and one-time XLA
         # compilation amortize across solves; 'value' is the warm solve.
         "setup_s": round(t_setup, 2),
@@ -287,6 +305,91 @@ def main():
             "unstructured_solve_s": round(t_unstructured, 3),
             "unstructured_iters": unstructured_iters,
         }),
+    }))
+
+
+def _last_json_line(text: str):
+    """Last stdout line that parses as a JSON object, or None."""
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    """Hang-proof orchestrator: probe backend, run body, always emit JSON.
+
+    The axon TPU plugin can hang indefinitely inside backend init when the
+    relay tunnel is down (observed: MULTICHIP_r03 rc=124), so nothing here
+    touches jax in-process — every jax call lives in a time-limited
+    subprocess.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+
+    def run(code, timeout, extra_env=None):
+        e = dict(env)
+        if extra_env:
+            e.update(extra_env)
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", code], cwd=here, env=e,
+                stdout=subprocess.PIPE, timeout=timeout, text=True)
+            return p.returncode, p.stdout
+        except subprocess.TimeoutExpired:
+            return -9, ""
+
+    # 1) Backend probe (the step that hangs when the TPU tunnel is down).
+    probe_t = float(os.environ.get("FEMX_BENCH_PROBE_TIMEOUT", "120"))
+    t0 = time.perf_counter()
+    rc, out = run("import jax; print(jax.default_backend())", probe_t)
+    backend = out.strip().splitlines()[-1] if out.strip() else ""
+    log(f"backend probe: rc={rc} backend={backend!r} "
+        f"({time.perf_counter() - t0:.1f}s)")
+
+    error = None
+    if rc == 0 and backend and backend != "cpu":
+        # 2) Real TPU bench, itself time-limited in case the relay drops
+        # mid-run.
+        bench_t = float(os.environ.get("FEMX_BENCH_TIMEOUT", "3000"))
+        rc, out = run("import bench; bench.run_bench()", bench_t)
+        parsed = _last_json_line(out)
+        if rc == 0 and parsed is not None:
+            print(json.dumps(parsed))
+            return
+        error = (f"tpu bench subprocess failed (rc={rc}, "
+                 f"json={'yes' if parsed else 'no'})")
+    else:
+        error = (f"tpu backend unavailable (probe rc={rc}, "
+                 f"backend={backend!r}, timeout={probe_t:.0f}s)")
+    log(f"falling back to CPU correctness run: {error}")
+
+    # 3) CPU correctness fallback: small grid, f64, explicit error record.
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import bench; bench.run_bench()")
+    rc, out = run(code, float(os.environ.get("FEMX_BENCH_CPU_TIMEOUT", "900")),
+                  extra_env={"FEMX_BENCH_ERROR": error,
+                             "FEMX_BENCH_GRID": os.environ.get(
+                                 "FEMX_BENCH_CPU_GRID", "8,8,32"),
+                             "FEMX_BENCH_UNSTRUCTURED": "0"})
+    parsed = _last_json_line(out)
+    if rc == 0 and parsed is not None:
+        print(json.dumps(parsed))
+        return
+
+    # 4) Last resort: a bare machine-readable error record.
+    print(json.dumps({
+        "metric": "solid_cantilever_accurate_solve_wall",
+        "value": -1.0,
+        "unit": "s (bench did not run)",
+        "vs_baseline": 0.0,
+        "error": f"{error}; cpu fallback also failed (rc={rc})",
     }))
 
 
