@@ -149,6 +149,35 @@ def _jit_pcg_refined_op_bj(fv, fv64, op_, op64_, bj_data, tol, outer_tol):
                        outer_tol=outer_tol)
 
 
+# warm-restartable (x0-taking) chunk solvers for the checkpoint=PATH path
+# (femx.checkpoint.pcg_checkpointed drives these in `chunk`-iteration
+# segments, persisting state between segments)
+@jax.jit
+def _jit_pcg_mg_chunk(fv, x0, mg_, tol, maxiter):
+    return pcg(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_, x0=x0,
+               tol=tol, maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_st_bj_chunk(fv, x0, op_, binv, tol, maxiter):
+    return pcg(op_.apply_constrained, fv,
+               M_inv_diag=lambda r: op_.apply_block_jacobi(binv, r), x0=x0,
+               tol=tol, maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_op_precond_chunk(fv, x0, op_, precond_, tol, maxiter):
+    return pcg(op_.apply_constrained, fv, M_inv_diag=precond_, x0=x0,
+               tol=tol, maxiter=maxiter)
+
+
+@jax.jit
+def _jit_pcg_op_bj_chunk(fv, x0, op_, bj_data, tol, maxiter):
+    return pcg(op_.apply_constrained, fv,
+               M_inv_diag=lambda r: op_.soa.apply_block_jacobi(bj_data, r),
+               x0=x0, tol=tol, maxiter=maxiter)
+
+
 @jax.jit
 def _jit_apply_op(v, op_):
     return op_.apply_constrained(v)
@@ -173,6 +202,8 @@ class SolidReactionAnalysis:
         cg_tol: float = 1e-10,
         verbose: bool = True,
         devices: Optional[int] = None,
+        checkpoint: Optional[str] = None,
+        checkpoint_chunk: int = 500,
     ):
         self.msh_file = msh_file
         self.force_data = list(force_data)
@@ -188,6 +219,13 @@ class SolidReactionAnalysis:
         # halo MG-PCG (femx.parallel.driver) — multi-chip with the same
         # one-call ergonomics as the reference's run_simulation
         self.devices = devices
+        # checkpoint=PATH makes the solve resumable after a crash/preemption:
+        # CG runs in `checkpoint_chunk`-iteration segments, persisting
+        # (x, iterations) atomically between segments; a re-run with the same
+        # path warm-starts from the saved state (femx.checkpoint). Covers
+        # the structured, unstructured and devices=N solve paths.
+        self.checkpoint = checkpoint
+        self.checkpoint_chunk = int(checkpoint_chunk)
 
         self.pd = 3
         self.u: Optional[np.ndarray] = None
@@ -287,6 +325,57 @@ class SolidReactionAnalysis:
         self.active_dofs = cs.free_dofs
         self.stage_times["bc"] = time.perf_counter() - t0
 
+    def _solve_chunked(self, f_vec, solve_chunk, tol):
+        """checkpoint=PATH driver: chunked warm-restart CG with persisted
+        state (femx.checkpoint.pcg_checkpointed); returns
+        (CGResult, resumed_iteration_count)."""
+        from femx import checkpoint as ckpt
+
+        arrays, meta = ckpt.load_state(self.checkpoint)
+        resumed = (int((meta or {}).get("iterations", 0))
+                   if arrays is not None else 0)
+        res = ckpt.pcg_checkpointed(
+            None, f_vec, tol=tol, maxiter=50000, chunk=self.checkpoint_chunk,
+            checkpoint_path=self.checkpoint, verbose=self.verbose,
+            solve_chunk=solve_chunk)
+        return res, resumed
+
+    def _refine_host(self, res, corr_solve, f64_int, low_dtype):
+        """Adaptive guarded f64 refinement around a checkpointed
+        low-precision solve — solve.cg.pcg_refined's scheme (accept a pass
+        only if the true residual drops; stop at the f64 floor),
+        host-orchestrated so each ACCEPTED pass persists to the checkpoint
+        (a preempted refinement redoes at most one pass on resume)."""
+        from femx.checkpoint import save_state
+        from femx.solve.cg import CGResult
+
+        op64 = self._op64
+        x_h = jnp.asarray(res.x, jnp.float64)
+        bnorm = float(jnp.linalg.norm(f64_int)) or 1.0
+        total = int(res.iterations)
+        rn_prev = np.inf
+        rn = float(jnp.linalg.norm(f64_int - _jit_apply_op(x_h, op64))) / bnorm
+        for _ in range(8):
+            if rn <= self.cg_tol or rn >= rn_prev:
+                break
+            rn_prev = rn
+            r = f64_int - _jit_apply_op(x_h, op64)
+            c = corr_solve(jnp.asarray(r, dtype=low_dtype))
+            x_new = x_h + jnp.asarray(c.x, jnp.float64)
+            rn_new = float(jnp.linalg.norm(
+                f64_int - _jit_apply_op(x_new, op64))) / bnorm
+            total += int(c.iterations)
+            if rn_new < rn:
+                x_h, rn = x_new, rn_new
+                if self.checkpoint:
+                    save_state(self.checkpoint, {"x": np.asarray(x_h)},
+                               {"iterations": total, "residual": rn})
+            else:
+                break  # past the f64 floor; keep the better iterate
+        return CGResult(x=x_h, iterations=jnp.asarray(total),
+                        residual_norm=jnp.asarray(rn),
+                        converged=jnp.asarray(rn <= self.cg_tol))
+
     def solve(self) -> None:
         self._log("4. Solving the linear system...")
         t0 = time.perf_counter()
@@ -345,7 +434,28 @@ class SolidReactionAnalysis:
             # ~100 MB of arrays as closed-over constants dominate the
             # remote-compile payload on TPU; see StructuredMultigrid).
             mg_arg = minv if isinstance(minv, StructuredMultigrid) else None
-            if np.dtype(dtype) == np.float32:
+            resumed = None
+            if self.checkpoint:
+                inner_tol = (max(self.cg_tol, 1e-5)
+                             if np.dtype(dtype) == np.float32 else self.cg_tol)
+                if mg_arg is not None:
+                    chunk_fn = (lambda fv, x0: _jit_pcg_mg_chunk(
+                        fv, x0, mg_arg, inner_tol, self.checkpoint_chunk))
+                else:
+                    chunk_fn = (lambda fv, x0: _jit_pcg_st_bj_chunk(
+                        fv, x0, op, binv, inner_tol, self.checkpoint_chunk))
+                res, resumed = self._solve_chunked(f_int, chunk_fn, inner_tol)
+                if np.dtype(dtype) == np.float32 and self.cg_tol < 1e-5:
+                    self._op64 = op.astype(np.float64)
+                    f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
+                    corr = ((lambda r: _jit_pcg_mg(r, mg_arg, inner_tol, 10000))
+                            if mg_arg is not None else
+                            (lambda r: _jit_pcg_st_bj(r, op, binv, inner_tol,
+                                                      10000)))
+                    res = self._refine_host(res, corr, f64_int,
+                                            np.dtype(dtype))
+                method += "_checkpointed"
+            elif np.dtype(dtype) == np.float32:
                 # f32 inner solves + ADAPTIVE f64 iterative refinement to a
                 # true residual <= cg_tol (~86x contraction per pass,
                 # divergence-guarded; see solve.cg.pcg_refined). A pure-f32
@@ -372,6 +482,9 @@ class SolidReactionAnalysis:
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),
+                **({} if resumed is None else {
+                    "checkpoint": self.checkpoint,
+                    "resumed_iterations": resumed}),
             }
             self.u = op.to_global(np.asarray(u_int))
             self._log("   - System solved.")
@@ -421,7 +534,29 @@ class SolidReactionAnalysis:
                               "using block-Jacobi.")
             self._precond = minv if minv is not None else ("bj", bj_data)
 
-            if np.dtype(dtype) == np.float32:
+            resumed = None
+            if self.checkpoint:
+                inner_tol = (max(self.cg_tol, 1e-5)
+                             if np.dtype(dtype) == np.float32 else self.cg_tol)
+                if minv is not None:
+                    chunk_fn = (lambda fv, x0: _jit_pcg_op_precond_chunk(
+                        fv, x0, op, minv, inner_tol, self.checkpoint_chunk))
+                else:
+                    chunk_fn = (lambda fv, x0: _jit_pcg_op_bj_chunk(
+                        fv, x0, op, bj_data, inner_tol, self.checkpoint_chunk))
+                res, resumed = self._solve_chunked(f_int, chunk_fn, inner_tol)
+                if np.dtype(dtype) == np.float32 and self.cg_tol < 1e-5:
+                    self._op64 = op.astype(np.float64)
+                    f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
+                    corr = ((lambda r: _jit_pcg_op_precond(r, op, minv,
+                                                           inner_tol, 10000))
+                            if minv is not None else
+                            (lambda r: _jit_pcg_op_bj(r, op, bj_data,
+                                                      inner_tol, 10000)))
+                    res = self._refine_host(res, corr, f64_int,
+                                            np.dtype(dtype))
+                method = method_prefix + "_pcg_checkpointed"
+            elif np.dtype(dtype) == np.float32:
                 # f32 inner solves + adaptive f64 refinement (one compiled
                 # program; see solve.cg.pcg_refined). Module-level jits —
                 # per-call jit(lambda) retraced the identical million-DOF
@@ -448,6 +583,9 @@ class SolidReactionAnalysis:
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),
+                **({} if resumed is None else {
+                    "checkpoint": self.checkpoint,
+                    "resumed_iterations": resumed}),
             }
             self.u = op.to_global(np.asarray(res.x))
             self._log("   - System solved.")
@@ -498,18 +636,20 @@ class SolidReactionAnalysis:
         mask_g = np.asarray(self.constraints.free_mask(), dtype=np.float64)
         dtype = np.dtype(self.operator.Kcell.dtype).type
         try:
-            from femx.parallel.driver import distributed_structured_solve
+            from femx.parallel.driver import DistributedStructuredSolver
 
-            u, dinfo = distributed_structured_solve(
-                info_s.n_cells, info_s.spacing, self.E, self.v,
-                mask_g, np.asarray(self.f, dtype=np.float64),
-                weight=self.weight, dtype=dtype, tol=self.cg_tol,
-                devices=self.devices,
-            )
+            solver = DistributedStructuredSolver(
+                info_s.n_cells, info_s.spacing, self.E, self.v, mask_g,
+                weight=self.weight, dtype=dtype, devices=self.devices)
+            u, dinfo = solver.solve(np.asarray(self.f, dtype=np.float64),
+                                    tol=self.cg_tol,
+                                    checkpoint_path=self.checkpoint,
+                                    checkpoint_chunk=self.checkpoint_chunk)
         except ValueError as e:
             self._log(f"   - Distributed solve unavailable ({e}); "
                       "using the single-device path.")
             return False
+        self._dist_solver = solver  # reused by solve_cases(devices kept)
         self.u = u
         self.solve_info = dinfo
         self._log(f"   - System solved on {dinfo['devices']} devices "
@@ -534,7 +674,9 @@ class SolidReactionAnalysis:
         case): the assembled operator and preconditioner from solve() are
         reused and all cases run inside ONE compiled program
         (`lax.map` over the stacked right-hand sides — the EP-analog
-        surfaced as a product API; SURVEY.md §2b).
+        surfaced as a product API; SURVEY.md §2b). On a devices=N analysis
+        the cases run through the distributed solver built by solve()
+        (halo MG / lattice-MG kernels compiled once, executed per case).
 
         Args:
           force_cases: list of force_data lists (each in the constructor's
@@ -562,6 +704,35 @@ class SolidReactionAnalysis:
         if dtype == np.float32:
             t = max(t, 1e-5)
         mask_g = self.constraints.free_mask()
+
+        # devices=N analyses reuse the distributed solver built by solve():
+        # the first case compiled the halo/lattice-MG kernel, so every
+        # further case is execute-only (pcg_halo / lattice solver caches are
+        # keyed per (solver, tol)). f32 cases floor at 1e-5 like the
+        # single-device path — run solve() per case for refined accuracy.
+        dist_s = getattr(self, "_dist_solver", None)
+        dist_u = getattr(self, "_dist_usolver", None)
+        if dist_s is not None or dist_u is not None:
+            us, infos = [], []
+            for case in force_cases:
+                fg = bc_mod.solid_point_loads(
+                    self.mesh, case, self.neumann_nodes)[0] * mask_g
+                if dist_s is not None:
+                    u_g, dinfo = dist_s.solve(np.asarray(fg, np.float64),
+                                              tol=t)
+                    it_i, rn_i, ok_i = (dinfo["iterations"],
+                                        dinfo["residual"],
+                                        dinfo["converged"])
+                else:
+                    u_g, it_i, rn_i, ok_i = dist_u.solve(
+                        np.asarray(fg, np.float64), tol=t, maxiter=10000)
+                us.append(np.asarray(u_g))
+                infos.append({"iterations": int(it_i),
+                              "residual": float(rn_i),
+                              "converged": bool(ok_i)})
+            self.case_solve_info = infos
+            return np.stack(us)
+
         # the generic einsum operator works in global DOF order directly
         to_int = getattr(op, "to_internal", lambda v: v)
         to_glob = getattr(op, "to_global", lambda v: v)

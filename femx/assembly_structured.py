@@ -156,6 +156,12 @@ class StructuredSolidOperator:
     # cell still couples the free nodes of the shared boundary plane to each
     # other. 0/1-valued in practice; None means all-ones.
     z_weight: Optional[jnp.ndarray] = None
+    # Per-x/y-layer cell weights ((nx,)/(ny,)), same semantics as z_weight.
+    # Used by the ghost-padded coarse levels of StructuredMultigrid (odd cell
+    # counts are padded up to even before coarsening so the hierarchy never
+    # bottoms out on an odd-extent grid; solve/multigrid.py).
+    x_weight: Optional[jnp.ndarray] = None
+    y_weight: Optional[jnp.ndarray] = None
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -384,6 +390,10 @@ class StructuredSolidOperator:
         fe = jax.lax.dot(
             self.Kcell, ue, precision=jax.lax.Precision.HIGHEST
         ).reshape(27, 3, nx, ny, nz)
+        if self.x_weight is not None:
+            fe = fe * jnp.asarray(self.x_weight, dtype=fe.dtype)[:, None, None]
+        if self.y_weight is not None:
+            fe = fe * jnp.asarray(self.y_weight, dtype=fe.dtype)[:, None]
         if zw is not None:
             fe = fe * jnp.asarray(zw, dtype=fe.dtype)
         return self._join_phases(self._overlap_add(fe, phases))
@@ -452,6 +462,24 @@ class StructuredSolidOperator:
         v = self.apply_phases(masked)
         return [vi * s + p * (1.0 - s) for vi, s, p in zip(v, m, phases)]
 
+    def _cell_weight_host(self) -> Optional[np.ndarray]:
+        """(nx, ny, nz) combined per-cell weight on host, or None if all-ones.
+
+        Product of the optional per-axis layer weights (x_weight/y_weight/
+        z_weight); setup-stage only (preconditioner/mass assembly)."""
+        if self.x_weight is None and self.y_weight is None \
+                and self.z_weight is None:
+            return None
+        nx, ny, nz = self.n_cells
+
+        def ax(w, n):
+            return (np.ones(n) if w is None
+                    else np.asarray(w, dtype=np.float64))
+
+        return (ax(self.x_weight, nx)[:, None, None]
+                * ax(self.y_weight, ny)[None, :, None]
+                * ax(self.z_weight, nz)[None, None, :])
+
     # -- preconditioning ----------------------------------------------------
     def block_diagonal_internal(self) -> np.ndarray:
         """(n_nodes, 3, 3) nodal diagonal blocks, nodes in internal order.
@@ -461,16 +489,15 @@ class StructuredSolidOperator:
         seconds through the axon relay)."""
         nx, ny, nz = self.n_cells
         Kc = self.Kcell_host.reshape(27, 3, 27, 3)
-        zw = None if self.z_weight is None else np.asarray(self.z_weight,
-                                                           dtype=np.float64)
+        cw = self._cell_weight_host()  # None or (nx, ny, nz)
         shapes = self._phase_shapes()
         grids = [np.zeros((s[0], s[1], s[2], 3, 3), dtype=Kc.dtype) for s in shapes]
         for s, (a, b, c) in enumerate(_SLOTS):
             pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
             ia, jb, kc = a // 2, b // 2, c // 2
             contrib = Kc[s, :, s, :]
-            if zw is not None:
-                contrib = zw[None, None, :, None, None] * contrib
+            if cw is not None:
+                contrib = cw[:, :, :, None, None] * contrib
             grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += contrib
         return np.concatenate([g.reshape(-1, 3, 3) for g in grids])
 
@@ -501,14 +528,14 @@ class StructuredSolidOperator:
             raise ValueError("operator has no spacing metadata (needed for mass)")
         nx, ny, nz = self.n_cells
         mcell = _cell_lumped_mass(self.spacing, rho)  # (27,)
-        zw = (1.0 if self.z_weight is None
-              else np.asarray(self.z_weight, dtype=np.float64))
+        cw = self._cell_weight_host()
+        cw = 1.0 if cw is None else cw
         shapes = self._phase_shapes()
         grids = [np.zeros(s) for s in shapes]
         for s_idx, (a, b, c) in enumerate(_SLOTS):
             pidx = (a % 2) * 4 + (b % 2) * 2 + (c % 2)
             ia, jb, kc = a // 2, b // 2, c // 2
-            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += mcell[s_idx] * zw
+            grids[pidx][ia : ia + nx, jb : jb + ny, kc : kc + nz] += mcell[s_idx] * cw
         parts = [np.broadcast_to(g, (3,) + g.shape).reshape(-1) for g in grids]
         return np.concatenate(parts)
 
@@ -573,18 +600,20 @@ class StructuredSolidOperator:
 
 
 def _structured_op_flatten(op: StructuredSolidOperator):
-    children = (op.Kcell, op.free_mask, op.z_weight)
+    children = (op.Kcell, op.free_mask, op.z_weight, op.x_weight, op.y_weight)
     aux = (op.n_cells, op.grid_shape, op.weight, op.spacing)
     return children, aux
 
 
 def _structured_op_unflatten(aux, children):
-    Kcell, free_mask, z_weight = children
+    Kcell, free_mask, z_weight, x_weight, y_weight = children
     n_cells, grid_shape, weight, spacing = aux
     op = object.__new__(StructuredSolidOperator)
     object.__setattr__(op, "Kcell", Kcell)
     object.__setattr__(op, "free_mask", free_mask)
     object.__setattr__(op, "z_weight", z_weight)
+    object.__setattr__(op, "x_weight", x_weight)
+    object.__setattr__(op, "y_weight", y_weight)
     object.__setattr__(op, "n_cells", n_cells)
     object.__setattr__(op, "grid_shape", grid_shape)
     object.__setattr__(op, "weight", weight)

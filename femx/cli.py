@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="solve structured meshes z-slab-distributed over N "
                          "devices (halo MG-PCG; falls back to single-device "
                          "when the lattice cannot be slab-decomposed)")
+    so.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="resumable solve: persist CG state to PATH.npz "
+                         "between iteration chunks and resume from it on "
+                         "re-run (crash/preemption recovery)")
+    so.add_argument("--checkpoint-chunk", type=int, default=500,
+                    help="iterations per checkpoint segment (default 500)")
     so.add_argument("--modal", type=int, default=0, metavar="N",
                     help="also compute the first N natural frequencies "
                          "(shift-invert Lanczos, HRZ-lumped mass)")
@@ -194,7 +200,9 @@ def main(argv=None) -> int:
         compat = ReferenceCompat(tet10_quadrature_weight_bug=args.compat_quadrature_bug)
         fa = SolidReactionAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
                                    compat=compat, solver=args.solver,
-                                   devices=args.devices)
+                                   devices=args.devices,
+                                   checkpoint=args.checkpoint,
+                                   checkpoint_chunk=args.checkpoint_chunk)
         fa.run_simulation(report=False)
         if args.stress:
             import numpy as np

@@ -7,9 +7,13 @@ and 2nd-order complete elements (Mesh.ElementOrder=2 / SecondOrderIncomplete=0
 → Tetra10). gmsh is not available here, and the only geometry the reference
 ever generates is an axis-aligned box — so femx ships a deterministic
 structured Kuhn-subdivision Tetra10 box mesher in pure numpy, with the same
-physical-group contract. BC points snap to the nearest mesh node (the
-reference's own solvers snap GUI points to the nearest group node anyway,
-ReactionSolver.py:164-166,180-182).
+physical-group contract. Off-lattice BC points are EMBEDDED as real mesh
+nodes at the exact requested coordinate (matching fragment's semantics) by
+local node relocation with a positive-detJ guard — see
+box_tet10_from_cells(embed_points=...); nearest-node snapping (which the
+reference's own solvers also do for GUI points,
+ReactionSolver.py:164-166,180-182) remains the fallback and the
+embed_points=False behavior.
 
 For beams, ``FrameBuilder`` constructs 1D line meshes with 0-D vertex physical
 groups, the format BeamSolver consumes (BeamSolver.py:207-220,677-686; sample
@@ -100,6 +104,7 @@ def box_tet10(
     force_points: Optional[Sequence[Sequence[float]]] = None,
     fix_points: Optional[Sequence[Sequence[float]]] = None,
     origin: Sequence[float] = (0.0, 0.0, 0.0),
+    embed_points: bool = True,
 ) -> Mesh:
     """Structured Tetra10 mesh of an axis-aligned box with BC point groups.
 
@@ -117,7 +122,53 @@ def box_tet10(
     return box_tet10_from_cells(
         (int(n[0]), int(n[1]), int(n[2])), h,
         force_points=force_points, fix_points=fix_points, origin=origin,
+        embed_points=embed_points,
     )
+
+
+def _embed_point_exactly(all_points, conn10, info, node_id, pqr, target):
+    """Relocate lattice node `node_id` to the exact `target` coordinate,
+    keeping the Tet10 mesh geometrically consistent (the reference embeds BC
+    points as real mesh nodes via OCC ``fragment``, gmsh_creation.py:38-61).
+
+    Corner nodes (all-even lattice position) drag the midside nodes of their
+    incident edges to the new edge midpoints — in the Kuhn complex every
+    midside node m belongs to EXACTLY one edge, the monotone segment
+    (m - 1_S, m + 1_S) where S is the set of axes on which m is odd — so
+    edges stay straight. Midside nodes move alone (the edge becomes a
+    quadratic arc; the isoparametric Tet10 handles it).
+
+    Returns (affected tet row indices for the caller's detJ check,
+    moved node ids, their pre-move coordinates for an exact revert)."""
+    Px, Py, Pz = info.grid_shape
+    moved = [int(node_id)]
+    if not np.any(pqr % 2):  # corner: also reposition incident-edge midpoints
+        for S in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 1),
+                  (0, 1, 1), (1, 1, 1)):
+            d = np.asarray(S)
+            for sgn in (1, -1):
+                m = pqr + sgn * d
+                a, b = m - d, m + d
+                if np.any(a < 0) or np.any(b >= (Px, Py, Pz)):
+                    continue
+                moved.append(int(info.node_id(*m)))
+    moved_ids = np.asarray(moved)
+    old_coords = all_points[moved_ids].copy()
+    all_points[node_id] = target
+    if len(moved) > 1:  # corner case: midpoints AFTER the corner moved
+        for S in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 1),
+                  (0, 1, 1), (1, 1, 1)):
+            d = np.asarray(S)
+            for sgn in (1, -1):
+                m = pqr + sgn * d
+                a, b = m - d, m + d
+                if np.any(a < 0) or np.any(b >= (Px, Py, Pz)):
+                    continue
+                all_points[int(info.node_id(*m))] = 0.5 * (
+                    all_points[int(info.node_id(*a))]
+                    + all_points[int(info.node_id(*b))])
+    rows = np.where(np.isin(conn10, moved_ids).any(axis=1))[0]
+    return rows, moved_ids, old_coords
 
 
 def box_tet10_from_cells(
@@ -126,6 +177,7 @@ def box_tet10_from_cells(
     force_points: Optional[Sequence[Sequence[float]]] = None,
     fix_points: Optional[Sequence[Sequence[float]]] = None,
     origin: Sequence[float] = (0.0, 0.0, 0.0),
+    embed_points: bool = True,
 ) -> Mesh:
     """box_tet10 with exact per-axis cell counts and spacings.
 
@@ -133,6 +185,18 @@ def box_tet10_from_cells(
     callers that already know (n_cells, spacing) — e.g. the multigrid
     hierarchy coarsening an existing StructuredBoxInfo — can realize any
     anisotropic grid directly.
+
+    embed_points (round 4, matching the reference's OCC ``fragment``
+    semantics, gmsh_creation.py:38-61): force/fix points that do NOT lie on
+    the lattice are embedded as REAL mesh nodes at the exact requested
+    coordinate by locally relocating the nearest node (positive detJ
+    verified; reverted to nearest-node snapping if the distortion would
+    invert an element). A mesh with any relocated node loses its uniform
+    lattice, so ``mesh.structured`` is cleared and solves take the
+    unstructured (transpose-gather) path — pass ``embed_points=False`` to
+    keep the old snap-to-lattice behavior and the structured fast path.
+    Per-point outcomes (requested coordinate, node, snap distance) are
+    recorded in ``mesh.bc_embed_info``. On-lattice points are unaffected.
     """
     nx, ny, nz = (int(v) for v in n_cells)
     h = np.asarray(spacing, dtype=np.float64)
@@ -179,6 +243,9 @@ def box_tet10_from_cells(
 
     vertex_cells: List[List[int]] = []
     vertex_phys: List[int] = []
+    bc_embed_info: List[dict] = []
+    any_moved = False
+    snap_tol = 1e-9 * float(np.max(h))
     for group_points, tag, name in (
         (force_points, 2, "Neumann_BCs"),
         (fix_points, 3, "Diri_BCs"),
@@ -189,19 +256,41 @@ def box_tet10_from_cells(
         for p in group_points:
             # Nearest node = nearest half-spaced lattice position (exact —
             # no O(N) distance scan over the point cloud).
-            t = (np.asarray(p, dtype=np.float64) - np.asarray(origin)) / h2
+            target = np.asarray(p, dtype=np.float64)
+            t = (target - np.asarray(origin)) / h2
             # ceil(t - 1/2): exact midpoints resolve to the LOWER node, the
             # same tie-break as the previous argmin-over-all-nodes scan.
             pqr = np.clip(np.ceil(t - 0.5), 0,
                           np.asarray([Px, Py, Pz]) - 1).astype(np.int64)
-            vertex_cells.append([int((pqr[0] * Py + pqr[1]) * Pz + pqr[2])])
+            nid = int((pqr[0] * Py + pqr[1]) * Pz + pqr[2])
+            dist = float(np.linalg.norm(all_points[nid] - target))
+            rec = {"group": name, "requested": tuple(map(float, target)),
+                   "node": nid, "snap_distance": dist, "embedded": False}
+            if dist > snap_tol and embed_points:
+                rows, moved_ids, old_coords = _embed_point_exactly(
+                    all_points, conn10, info, nid, pqr, target)
+                # positive-Jacobian check on the affected tets only
+                from femx.elements.tet10 import DN_NATURAL
+
+                coords = all_points[conn10[rows]]
+                J = np.einsum("gkn,enc->egkc", DN_NATURAL, coords)
+                if float(np.linalg.det(J).min()) > 1e-12:
+                    rec.update(embedded=True, snap_distance=0.0)
+                    any_moved = True
+                else:  # would invert an element: revert, keep the snap
+                    all_points[moved_ids] = old_coords
+            vertex_cells.append([nid])
             vertex_phys.append(tag)
+            bc_embed_info.append(rec)
     if vertex_cells:
         cells["vertex"] = np.asarray(vertex_cells, dtype=np.int32)
         phys["vertex"] = np.asarray(vertex_phys, dtype=np.int32)
 
     mesh = Mesh(points=all_points, cells=cells, cell_physical=phys, field_data=field_data)
-    mesh.structured = info  # enables the gather-free structured operator
+    # A relocated node breaks the uniform lattice the gather-free structured
+    # operator assumes; such meshes take the unstructured solve path.
+    mesh.structured = None if any_moved else info
+    mesh.bc_embed_info = bc_embed_info
     mesh.validate()
     return mesh
 

@@ -398,9 +398,14 @@ class DistributedMultigrid:
             nz = lvl.op.n_cells[2]
             # need: my slab restricts to the next level's slab -> nz % 2*ndev,
             # a next level to restrict INTO, and a uniform coarsening gap
+            pads = getattr(mg, "_pad_nodes", ())
             if (
                 l >= len(mg._coarsen_axes)
                 or mg._coarsen_axes[l] != (1, 2, 3)
+                # ghost-padded gaps (odd-axis coarsening) zero-embed in the
+                # transfer, which the slab-local restriction does not model
+                # — hand off to the replicated levels there
+                or (l < len(pads) and pads[l] != (0, 0, 0))
                 or nz % (2 * self.ndev)
             ):
                 break

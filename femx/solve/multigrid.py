@@ -9,8 +9,12 @@ block-Jacobi alone to O(tens), independent of mesh size — which is what
 makes the <2 s / 1M-DOF north star reachable in float32 on one chip.
 
 Grid hierarchy: per level, every axis whose cell count is even and > 2
-halves (semi-coarsening), so anisotropic/odd cell counts still get a deep
-hierarchy; power-of-two-friendly counts coarsen fastest. Uniform 2x steps
+halves (semi-coarsening) — the exact rule, preferred because its coarse
+operators are exact rediscretizations. When a level has no even axis left
+AND is too large for the dense coarsest solve, odd axes are GHOST-PADDED up
+to even (fractional-weight straddle cells + zero-embed/slice transfers) so
+the hierarchy keeps coarsening instead of failing over to block-Jacobi —
+see the level-spec comment in StructuredMultigrid. Uniform 2x steps
 reuse the cell stiffness by exact rescaling (K(2h) = 2 K(h)); only
 semi-coarsened steps re-assemble the (81,81) cell matrix (single cell,
 cheap) — no level ever re-meshes the box. Transfers: fine lattice positions
@@ -45,7 +49,7 @@ from femx.assembly_structured import StructuredSolidOperator
 # rebuild). Measured at the 1.39M-DOF flagship: 6.4 s cold -> ~1.5 s warm
 # setup. Disable with FEMX_MG_CACHE=0.
 
-_MG_CACHE_VERSION = 1
+_MG_CACHE_VERSION = 3  # v3: ghost padding only as escape hatch (stuck odd grids)
 
 
 def _mg_cache_dir() -> str | None:
@@ -241,6 +245,19 @@ class _Level:
         return self.op.apply_block_jacobi(self.binv, r)
 
 
+def _axis_support(w, n: int) -> np.ndarray:
+    """(2n+1,) 1.0 where a doubled-lattice node touches any cell of positive
+    weight along this axis, else 0.0 (such nodes must stay fixed — their
+    stiffness rows are exactly zero)."""
+    if w is None:
+        return np.ones(2 * n + 1)
+    sup = np.zeros(2 * n + 1)
+    for c in range(n):
+        if w[c] > 1e-12:
+            sup[2 * c : 2 * c + 3] = 1.0
+    return sup
+
+
 class StructuredMultigrid:
     """Symmetric V-cycle preconditioner M^-1 for CG on the structured mesh.
 
@@ -295,8 +312,13 @@ class StructuredMultigrid:
         # remote TPU compiler rejects) is worse than falling back to
         # block-Jacobi CG — raise so callers can fall back.
         coarse_dense_limit: int = 15000,
+        # Ghost-pad odd axes when the hierarchy would otherwise bottom out
+        # ABOVE coarse_dense_limit (see the level-spec comment). False
+        # reproduces the pre-round-4 behavior (raise on stuck hierarchies).
+        pad_odd_axes: bool = True,
     ):
         self.n_smooth = n_smooth
+        self.sweeps = None  # optional per-level sweep counts (None: n_smooth)
         self.omega = omega
         self.levels: List[_Level] = []
         self._coarsen_axes: List[tuple] = []  # grid axes (1..3) per level gap
@@ -309,21 +331,99 @@ class StructuredMultigrid:
             2 * n[0] + 1, 2 * n[1] + 1, 2 * n[2] + 1, 3
         )
 
-        # ---- level specs: semi-coarsening (halve every axis that is even
-        # and > 2; odd/small axes stay fine) so anisotropic boxes get a
-        # hierarchy instead of bottoming out at the finest level.
-        specs = []  # (n, sp, mask_grid)
+        # ---- level specs: semi-coarsening (halve every EVEN axis > 2, the
+        # exact rule) so anisotropic boxes get a hierarchy; when a level has
+        # NO even axis left and is still too big to invert densely, odd axes
+        # are GHOST-PADDED up to even and coarsening continues (round 4).
+        # Padding stays an escape hatch — measured: padding odd axes
+        # eagerly costs iterations ((24,24,96): 25 -> 30; (5,5,10): 19 ->
+        # 34 at 1e-10) because padded coarse operators are approximate,
+        # while WITHOUT it stuck grids raised ValueError and fell back to
+        # thousand-iteration block-Jacobi CG.
+        #
+        # Ghost padding mechanics: an odd axis c is conceptually padded to
+        # c+1 cells before halving. The padding never materializes on the
+        # level itself — the FINE level is always the caller's exact
+        # operator — it lives in (a) the transfers (residuals are
+        # zero-embedded into the padded extents before restriction;
+        # prolongations are sliced back, exact adjoints of each other) and
+        # (b) the COARSE levels, whose operators carry per-axis cell
+        # weights zeroing fully-ghost cell layers and whose masks fix
+        # zero-stiffness ghost nodes (identity rows) while keeping
+        # supported ghost nodes FREE (fixing them imposes a spurious
+        # Dirichlet plane next to real free surfaces — measured 81 vs ~35
+        # iterations on a (10,10,40) all-padded experiment).
+        # Cells straddling the real boundary get their REAL-VOLUME FRACTION
+        # as weight (the Galerkin-consistent choice: restricting the
+        # zero-embedded fine stiffness integrates only the real material in
+        # the straddled region — weight-1 straddles overstiffen the
+        # artificial boundary and measurably slow CG: 65 vs ~30 iterations
+        # on a (5,5,10) test grid). Approximate coarse weights affect only
+        # the RATE, never correctness (CG solves the exact fine system).
+        # real_ext tracks the real extent in cells per axis (halved each
+        # coarsening, fractional once a straddle exists); cell j has weight
+        # clamp(real_ext - j, 0, 1).
+        specs = []  # (n, sp, mask_grid, axis_weights)
+        self._pad_nodes: List[tuple] = []  # per gap: node-padding per axis
+        real_ext = [float(c) for c in n]
+        weights = (None, None, None)
         while True:
-            specs.append((n, sp, mask_grid))
+            specs.append((n, sp, mask_grid, weights))
             ndof = 3 * (2 * n[0] + 1) * (2 * n[1] + 1) * (2 * n[2] + 1)
-            axes = tuple(i for i in range(3) if n[i] % 2 == 0 and n[i] > 2)
-            if ndof <= coarse_dof_limit or not axes:
+            if ndof <= coarse_dof_limit:
                 break
+            even_axes = tuple(i for i in range(3)
+                              if n[i] % 2 == 0 and n[i] > 2)
+            if even_axes:
+                axes = even_axes  # exact (unpadded) coarsening — preferred:
+                # measured BETTER than padding odd axes early (padded coarse
+                # operators are approximate; flagship 25 vs 30 iterations)
+            else:
+                odd_axes = tuple(i for i in range(3) if n[i] > 2)
+                if (not odd_axes or ndof <= coarse_dense_limit
+                        or not pad_odd_axes):
+                    break  # dense coarsest solve handles it exactly
+                # ESCAPE HATCH: no even axis and the level is too big to
+                # invert densely — ghost-pad the odd axes so the hierarchy
+                # keeps coarsening instead of raising (which used to dump
+                # such grids onto thousand-iteration block-Jacobi CG)
+                axes = odd_axes
+            pad = tuple(1 if (i in axes and n[i] % 2) else 0 for i in range(3))
+            self._pad_nodes.append(tuple(2 * p for p in pad))
             self._coarsen_axes.append(tuple(1 + i for i in axes))
-            n = tuple(c // 2 if i in axes else c for i, c in enumerate(n))
+            mask_p = mask_grid
+            if any(pad):
+                # Ghost nodes are padded FREE (1), not fixed: fixing them
+                # imposes a spurious Dirichlet plane right next to real free
+                # surfaces, which clamps the coarse-grid correction there
+                # (measured: 81 vs ~20 iterations on a (10,10,40) grid).
+                # With free ghosts + fractional straddle weights the coarse
+                # operator approximates the Galerkin R K P of the
+                # zero-embedded fine system; only nodes with NO weighted
+                # stiffness support are fixed below (their rows would be
+                # singular).
+                mask_p = np.pad(mask_grid, [(0, 2 * pad[0]), (0, 2 * pad[1]),
+                                            (0, 2 * pad[2]), (0, 0)],
+                                constant_values=1.0)
+            sub = tuple(slice(None, None, 2) if i in axes else slice(None)
+                        for i in range(3))
+            mask_grid = mask_p[sub]
+            n = tuple((c + p) // 2 if i in axes else c
+                      for i, (c, p) in enumerate(zip(n, pad)))
             sp = tuple(s * 2.0 if i in axes else s for i, s in enumerate(sp))
-            sub = tuple(slice(None, None, 2) if i in axes else slice(None) for i in range(3))
-            mask_grid = mask_grid[sub]
+            real_ext = [r / 2.0 if i in axes else r
+                        for i, r in enumerate(real_ext)]
+            weights = tuple(
+                None if real_ext[i] >= n[i] - 1e-9
+                else np.clip(real_ext[i] - np.arange(n[i]), 0.0, 1.0)
+                for i in range(3)
+            )
+            if any(w is not None for w in weights):
+                mask_grid = mask_grid * (
+                    _axis_support(weights[0], n[0])[:, None, None, None]
+                    * _axis_support(weights[1], n[1])[None, :, None, None]
+                    * _axis_support(weights[2], n[2])[None, None, :, None]
+                )
 
         coarse_ndof = 3 * np.prod([2 * c + 1 for c in specs[-1][0]])
         if coarse_ndof > coarse_dense_limit:
@@ -336,7 +436,13 @@ class StructuredMultigrid:
         ck = _mg_cache_key(specs[0][0], specs[0][1], E, nu, weight, dtype,
                            n_smooth, omega, coarse_dof_limit, specs[0][2])
         cached = _mg_cache_load(ck)
-        if cached is not None and int(cached["n_levels"]) != len(specs):
+        level_cells = np.asarray([s_[0] for s_ in specs], dtype=np.int64)
+        if cached is not None and (
+            int(cached["n_levels"]) != len(specs)
+            or not np.array_equal(
+                cached.get("level_cells", np.empty((0, 3), np.int64)),
+                level_cells)
+        ):
             cached = None  # stale layout (shouldn't happen at same version)
         self.setup_cache_hit = cached is not None  # for honest bench reporting
 
@@ -348,7 +454,7 @@ class StructuredMultigrid:
         binv_hosts = []  # host copies (the safe-omega power iteration must
         # NOT read the device arrays back: a device->host readback through
         # the axon relay blocks for minutes — measured 580 s setup)
-        for i, (ni, spi, mgrid) in enumerate(specs):
+        for i, (ni, spi, mgrid, wts) in enumerate(specs):
             if i == 0 and fine_op is not None:
                 if tuple(fine_op.n_cells) != ni:
                     raise ValueError(
@@ -358,12 +464,27 @@ class StructuredMultigrid:
             elif (
                 prev_op is not None
                 and self._coarsen_axes[i - 1] == (1, 2, 3)
+                and self._pad_nodes[i - 1] == (0, 0, 0)
             ):
                 op = prev_op.coarsened()
             else:
                 op = StructuredSolidOperator.from_lattice(
                     ni, spi, E, nu, weight=weight, dtype=dtype
                 )
+            if any(w is not None for w in wts):
+                import dataclasses
+
+                kch = op.Kcell_host
+                op = dataclasses.replace(
+                    op,
+                    x_weight=None if wts[0] is None
+                    else jnp.asarray(wts[0], dtype=dtype),
+                    y_weight=None if wts[1] is None
+                    else jnp.asarray(wts[1], dtype=dtype),
+                    z_weight=None if wts[2] is None
+                    else jnp.asarray(wts[2], dtype=dtype),
+                )
+                object.__setattr__(op, "_Kcell_host", kch)
             prev_op = op
             m_int = op.to_internal(mgrid.reshape(-1))
             op = op.with_free_mask(m_int)  # numpy in: host mirror cached
@@ -387,8 +508,13 @@ class StructuredMultigrid:
             self.omegas = [float(w) for w in cached["omegas"]]
         else:
             self.omegas = []
-            for (ni, spi, _), lvl, binv_h in zip(specs, self.levels, binv_hosts):
-                if max(spi) / min(spi) > 1.01:
+            for (ni, spi, _mg, wts), lvl, binv_h in zip(specs, self.levels,
+                                                        binv_hosts):
+                # anisotropic spacing AND ghost-weighted levels both shift
+                # lambda_max(M^-1 K) away from the isotropic tuning — run
+                # the (cheap, coarse-level-only) power iteration for either
+                if (max(spi) / min(spi) > 1.01
+                        or any(w is not None for w in wts)):
                     self.omegas.append(
                         min(omega,
                             4.0 / (3.0 * _power_lambda_max(lvl.op, binv_h)))
@@ -401,9 +527,10 @@ class StructuredMultigrid:
             return
 
         # Coarsest: dense masked Cholesky in the coarse op's internal order.
-        cn, csp, _ = specs[-1]
+        cn, csp, *_ = specs[-1]
         cop = self.levels[-1].op
-        K = _dense_structured_K(cn, csp, E, nu, cop.weight)
+        K = _dense_structured_K(cn, csp, E, nu, cop.weight,
+                                cell_weights=cop._cell_weight_host())
         perm = cop._permutation()
         Kp = K[np.ix_(perm, perm)]
         m = cop.free_mask_host.astype(np.float64)
@@ -438,6 +565,7 @@ class StructuredMultigrid:
         self._coarse_inv = jnp.asarray(Kinv.astype(dtype))
 
         payload = {"n_levels": np.int64(len(specs)),
+                   "level_cells": level_cells,
                    "omegas": np.asarray(self.omegas, dtype=np.float64),
                    "coarse_kinv": Kinv.astype(dtype)}
         for i, bh in enumerate(binv_hosts):
@@ -460,14 +588,29 @@ class StructuredMultigrid:
         lvl = self.levels[k]
         if k == len(self.levels) - 1:
             return self._coarse_solve(b)
-        x = self._smooth(k, jnp.zeros_like(b), b, self.n_smooth)
+        sweeps = (self.sweeps[k] if getattr(self, "sweeps", None)
+                  else self.n_smooth)
+        x = self._smooth(k, jnp.zeros_like(b), b, sweeps)
         r = b - lvl.op.apply_constrained(x)
         nxt = self.levels[k + 1]
         axes = self._coarsen_axes[k]
-        r_coarse = _split_full(nxt.op, restrict(_join_full(lvl.op, r), axes)) * nxt.op.free_mask
+        # Ghost padding for odd-cell-count axes: zero-embed the residual
+        # into the padded extents before restriction; slice the prolonged
+        # correction back (exact adjoints; padded region carries only
+        # ghost-masked values).
+        pad = self._pad_nodes[k] if self._pad_nodes else (0, 0, 0)
+        r_full = _join_full(lvl.op, r)
+        if any(pad):
+            r_full = jnp.pad(r_full, ((0, 0), (0, pad[0]), (0, pad[1]),
+                                      (0, pad[2])))
+        r_coarse = _split_full(nxt.op, restrict(r_full, axes)) * nxt.op.free_mask
         e_coarse = self._vcycle(k + 1, r_coarse)
-        x = x + _split_full(lvl.op, prolong(_join_full(nxt.op, e_coarse), axes)) * lvl.op.free_mask
-        return self._smooth(k, x, b, self.n_smooth)
+        e_full = prolong(_join_full(nxt.op, e_coarse), axes)
+        if any(pad):
+            Px, Py, Pz = lvl.op.grid_shape
+            e_full = e_full[:, :Px, :Py, :Pz]
+        x = x + _split_full(lvl.op, e_full) * lvl.op.free_mask
+        return self._smooth(k, x, b, sweeps)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         """Preconditioner application M^-1 r (internal layout of the finest
@@ -513,11 +656,15 @@ def _power_lambda_max(op: StructuredSolidOperator, binv, iters: int = 15) -> flo
     return 1.05 * lam
 
 
-def _dense_structured_K(n_cells, spacing, E, nu, weight) -> np.ndarray:
+def _dense_structured_K(n_cells, spacing, E, nu, weight,
+                        cell_weights=None) -> np.ndarray:
     """Dense f64 lattice stiffness in GLOBAL raster DOF order, assembled by
     overlap-adding the single (81,81) cell matrix with one bincount — pure
     host numpy, ~0.1 s at the 3.7k-DOF coarsest level (replaced a jax
-    per-element assembly measured at ~2.3 s of setup)."""
+    per-element assembly measured at ~2.3 s of setup).
+
+    cell_weights: optional (nx, ny, nz) per-cell scale (ghost-padded coarse
+    levels zero their fully-ghost cells; must match the level operator)."""
     from femx.assembly_structured import _SLOTS, _cell_stiffness
 
     Kc = _cell_stiffness(tuple(spacing), E, nu, weight, np.float64)
@@ -532,8 +679,11 @@ def _dense_structured_K(n_cells, spacing, E, nu, weight) -> np.ndarray:
     ) * gz + (2 * k[..., None] + slots[:, 2])  # (nx, ny, nz, 27) raster ids
     dofs = (3 * nodes[..., None] + np.arange(3)).reshape(-1, 81)  # (ncell, 81)
     lin = (dofs[:, :, None].astype(np.int64) * ndof + dofs[:, None, :]).ravel()
-    w = np.broadcast_to(Kc.ravel(), (dofs.shape[0], 81 * 81)).ravel()
-    return np.bincount(lin, weights=w, minlength=ndof * ndof).reshape(ndof, ndof)
+    w = np.broadcast_to(Kc.ravel(), (dofs.shape[0], 81 * 81))
+    if cell_weights is not None:
+        w = w * np.asarray(cell_weights, dtype=np.float64).reshape(-1, 1)
+    return np.bincount(lin, weights=w.ravel(),
+                       minlength=ndof * ndof).reshape(ndof, ndof)
 
 
 def _level_flatten(l: _Level):
@@ -553,16 +703,20 @@ jax.tree_util.register_pytree_node(_Level, _level_flatten, _level_unflatten)
 
 def _mg_flatten(mg: StructuredMultigrid):
     children = (mg.levels, mg._coarse_inv)
-    aux = (mg.n_smooth, mg.omega, tuple(mg.omegas), tuple(mg._coarsen_axes))
+    aux = (mg.n_smooth, mg.omega, tuple(mg.omegas), tuple(mg._coarsen_axes),
+           tuple(getattr(mg, "_pad_nodes", ())),
+           None if getattr(mg, "sweeps", None) is None else tuple(mg.sweeps))
     return children, aux
 
 
 def _mg_unflatten(aux, children):
     out = object.__new__(StructuredMultigrid)
     out.levels, out._coarse_inv = children
-    out.n_smooth, out.omega, omegas, coarsen = aux
+    out.n_smooth, out.omega, omegas, coarsen, pads, sweeps = aux
     out.omegas = list(omegas)
     out._coarsen_axes = list(coarsen)
+    out._pad_nodes = list(pads)
+    out.sweeps = None if sweeps is None else list(sweeps)
     return out
 
 

@@ -134,3 +134,72 @@ def test_solid_report_includes_modal_when_present(tmp_path):
     text = open(p).read()
     assert "Modal Analysis Results" in text
     assert "Frequency (Hz)" in text
+
+
+def test_analysis_checkpoint_resume_after_kill(tmp_path):
+    """--checkpoint PATH end-to-end: a solve 'preempted' mid-CG (save_state
+    raising after the first persisted segment) leaves a resumable state file;
+    re-running the SAME analysis resumes from it (solve_info records the
+    resumed iteration count) and converges to the no-checkpoint answer."""
+    import femx.checkpoint as ckpt
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh import box_tet10_from_cells
+
+    cells = (3, 3, 6)
+    h = 0.05
+    mesh = box_tet10_from_cells(cells, (h, h, h))
+    zmax = float(mesh.points[:, 2].max())
+    fixes = [{"pos_x": p[0], "pos_y": p[1], "pos_z": 0.0,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for p in [(0, 0), (0, cells[1] * h), (cells[0] * h, 0),
+                       (cells[0] * h, cells[1] * h)]]
+    forces = [{"force_x": 0, "force_y": -500.0, "force_z": 0,
+               "force_x_pstn": cells[0] * h / 2,
+               "force_y_pstn": cells[1] * h / 2, "force_z_pstn": zmax}]
+    path = str(tmp_path / "solve_state")
+
+    def make(chunk=250):
+        # chunk must stay a reasonable fraction of the unchunked iteration
+        # count: each warm restart resets CG's recurrences, and restarting
+        # plain block-Jacobi CG every few iterations measurably stalls it
+        # (chunk=8 pushed this 1911-DOF solve past the 50k-iteration cap).
+        return SolidReactionAnalysis(
+            mesh, forces, fixes, E=2e11, v=0.3, verbose=False,
+            cg_tol=1e-10, checkpoint=path, checkpoint_chunk=chunk)
+
+    # reference: no checkpointing at all
+    fa_ref = SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                                   verbose=False, cg_tol=1e-10)
+    fa_ref.run_simulation()
+
+    # "preempt" the first checkpointed run after one persisted segment
+    real_save = ckpt.save_state
+    calls = {"n": 0}
+
+    def killing_save(path_, arrays, meta=None):
+        real_save(path_, arrays, meta)
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt("simulated preemption")
+
+    fa_kill = make()
+    fa_kill.assemble_stiffness_matrix()
+    fa_kill.apply_boundary_conditions()
+    ckpt.save_state = killing_save
+    try:
+        import pytest
+
+        with pytest.raises(KeyboardInterrupt):
+            fa_kill.solve()
+    finally:
+        ckpt.save_state = real_save
+    arrays, meta = ckpt.load_state(path)
+    assert arrays is not None and meta["iterations"] > 0
+
+    # resume: a fresh analysis on the same path picks the state up
+    fa_res = make()
+    fa_res.run_simulation()
+    assert fa_res.solve_info["resumed_iterations"] == meta["iterations"]
+    assert fa_res.solve_info["converged"]
+    scale = np.abs(fa_ref.u).max()
+    np.testing.assert_allclose(fa_res.u, fa_ref.u, atol=scale * 1e-7)

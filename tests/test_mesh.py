@@ -214,3 +214,74 @@ def test_box_tet10_from_cells_anisotropic_spacing():
             0.5 * (pts[conn[:, a]] + pts[conn[:, b]]), atol=1e-14)
     # every node is referenced exactly as the lattice predicts
     assert conn.min() == 0 and conn.max() == mesh.num_nodes - 1
+
+
+def test_box_bc_point_embedding_exact_node():
+    """Off-lattice force/fix points are embedded as REAL mesh nodes at the
+    exact requested coordinate (the reference's OCC fragment semantics,
+    gmsh_creation.py:38-61), with every element Jacobian still positive;
+    the mesh loses its structured metadata (relocated node != uniform
+    lattice) and solves take the unstructured path. embed_points=False
+    preserves the legacy nearest-node snap + structured fast path."""
+    import numpy as np
+
+    from femx.elements.tet10 import DN_NATURAL
+    from femx.mesh import box_tet10
+
+    p_exact = (0.213, 0.147, 0.353)  # far off every lattice position
+    mesh = box_tet10(0.4, 0.4, 0.4, 0.1,
+                     force_points=[p_exact],
+                     fix_points=[(0, 0, 0), (0.4, 0, 0), (0, 0, 0.4),
+                                 (0.4, 0, 0.4)])
+    # the Neumann vertex group points at a node with the EXACT coordinate
+    vtx = mesh.cells["vertex"][mesh.cell_physical["vertex"] == 2].ravel()
+    assert len(vtx) == 1
+    np.testing.assert_allclose(mesh.points[vtx[0]], p_exact, atol=1e-12)
+    info = [r for r in mesh.bc_embed_info if r["group"] == "Neumann_BCs"][0]
+    assert info["embedded"] and info["snap_distance"] == 0.0
+    # on-lattice fix points are untouched (no pointless distortion)
+    for r in mesh.bc_embed_info:
+        if r["group"] == "Diri_BCs":
+            assert not r["embedded"] and r["snap_distance"] < 1e-12
+    # every Jacobian stays positive after the local distortion
+    coords = np.asarray(mesh.points)[np.asarray(mesh.cells["tetra10"])]
+    J = np.einsum("gkn,enc->egkc", DN_NATURAL, coords)
+    assert float(np.linalg.det(J).min()) > 0
+    assert mesh.structured is None  # relocated node != uniform lattice
+
+    # legacy behavior on request: snap, keep the structured fast path
+    mesh_s = box_tet10(0.4, 0.4, 0.4, 0.1, force_points=[p_exact],
+                       fix_points=[(0, 0, 0)], embed_points=False)
+    assert mesh_s.structured is not None
+    rec = [r for r in mesh_s.bc_embed_info if r["group"] == "Neumann_BCs"][0]
+    assert not rec["embedded"] and rec["snap_distance"] > 1e-3
+
+
+def test_box_bc_point_embedding_solve_equilibrium():
+    """A solve on an embedded-point mesh applies the load at the EXACT
+    coordinate and still satisfies global equilibrium."""
+    import numpy as np
+
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh import box_tet10
+
+    p_exact = (0.213, 0.147, 0.353)
+    mesh = box_tet10(0.4, 0.4, 0.4, 0.1,
+                     force_points=[p_exact],
+                     fix_points=[(0, 0, 0), (0.4, 0, 0), (0, 0, 0.4),
+                                 (0.4, 0, 0.4)])
+    fa = SolidReactionAnalysis(
+        mesh,
+        [{"force_x": 0, "force_y": -700.0, "force_z": 0,
+          "force_x_pstn": p_exact[0], "force_y_pstn": p_exact[1],
+          "force_z_pstn": p_exact[2]}],
+        [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+          "fix_x": 0, "fix_y": 0, "fix_z": 0}
+         for x, z in [(0, 0), (0.4, 0), (0, 0.4), (0.4, 0.4)]],
+        E=2e11, v=0.3, verbose=False, cg_tol=1e-10)
+    fa.run_simulation()
+    # load applied at the embedded node == exact coordinate
+    node = fa.applied_forces_info[0]["node_idx"]
+    np.testing.assert_allclose(np.asarray(mesh.points)[node], p_exact,
+                               atol=1e-12)
+    np.testing.assert_allclose(fa.equilibrium_residual(), 0.0, atol=1e-7)

@@ -252,3 +252,77 @@ def test_mg_hierarchy_disk_cache_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("FEMX_MG_CACHE", "0")
     StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3, mask, **kw)
     assert len(list(tmp_path.iterdir())) == 2
+
+
+def test_mg_ghost_padding_rescues_stuck_hierarchies():
+    """Ghost padding is an ESCAPE HATCH: a grid whose hierarchy gets stuck on
+    all-odd cell counts ABOVE the dense-coarsest limit used to raise
+    ValueError (dumping the solve onto thousand-iteration block-Jacobi CG);
+    it must now pad odd axes, keep coarsening, converge in few iterations,
+    and agree with a block-Jacobi reference solution."""
+    dims = (0.9, 0.9, 1.8)
+    mesh, mask, f = _cantilever(dims, 0.1)
+    assert mesh.structured.n_cells == (9, 9, 18)
+    # the old rule bottoms out at (9, 9, 9) = 20577 DOF > coarse_dense_limit
+    with pytest.raises(ValueError):
+        StructuredMultigrid(dims, (9, 9, 18), 2e11, 0.3, mask,
+                            dtype=np.float64, coarse_dense_limit=15000,
+                            pad_odd_axes=False)
+    mg = StructuredMultigrid(dims, (9, 9, 18), 2e11, 0.3, mask,
+                             dtype=np.float64, coarse_dense_limit=15000)
+    assert [l.op.n_cells for l in mg.levels] == [(9, 9, 18), (9, 9, 9),
+                                                 (5, 5, 5)]
+    op = mg.fine_op
+    fj = jnp.asarray(op.to_internal(f * mask))
+    res = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=1e-10, maxiter=100)
+    assert bool(res.converged), float(res.residual_norm)
+    assert int(res.iterations) <= 45, int(res.iterations)
+    ref = pcg(op.apply_constrained, fj,
+              M_inv_diag=op.block_jacobi_preconditioner(),
+              tol=1e-12, maxiter=20000)
+    scale = float(np.abs(np.asarray(ref.x)).max())
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7 * scale)
+
+
+def test_mg_ghost_padded_vcycle_is_symmetric():
+    """CG requires a symmetric preconditioner: <M^-1 a, b> == <a, M^-1 b>
+    must survive the zero-embed/slice transfer pair and the ghost-weighted
+    coarse operators of a padded hierarchy."""
+    dims = (0.9, 0.9, 0.9)
+    mesh, mask, f = _cantilever(dims, 0.1)
+    assert mesh.structured.n_cells == (9, 9, 9)
+    mg = StructuredMultigrid(dims, (9, 9, 9), 2e11, 0.3, mask,
+                             dtype=np.float64, coarse_dense_limit=2000)
+    assert len(mg._pad_nodes) >= 1 and any(
+        p != (0, 0, 0) for p in mg._pad_nodes)
+    op = mg.fine_op
+    rng = np.random.default_rng(3)
+    m_int = np.asarray(op.free_mask)
+    a = jnp.asarray(rng.normal(size=op.ndof) * m_int)
+    b = jnp.asarray(rng.normal(size=op.ndof) * m_int)
+    lhs = float(jnp.vdot(mg(a), b))
+    rhs = float(jnp.vdot(a, mg(b)))
+    assert lhs == pytest.approx(rhs, rel=1e-10)
+
+
+def test_mg_even_grids_never_pad():
+    """Regression guard: grids the old (even-axis) rule handled must build
+    the EXACT same hierarchy — no ghost padding, no axis weights (measured:
+    padding them early costs iterations, e.g. flagship 25 -> 30)."""
+    dims = (0.5, 0.5, 2.0)
+    mesh, mask, f = _cantilever(dims, 0.05)
+    assert mesh.structured.n_cells == (10, 10, 40)
+    mg = StructuredMultigrid(dims, (10, 10, 40), 2e11, 0.3, mask,
+                             dtype=np.float64)
+    assert [l.op.n_cells for l in mg.levels] == [
+        (10, 10, 40), (5, 5, 20), (5, 5, 10), (5, 5, 5)]
+    assert all(p == (0, 0, 0) for p in mg._pad_nodes)
+    for lvl in mg.levels:
+        assert lvl.op.x_weight is None and lvl.op.y_weight is None \
+            and lvl.op.z_weight is None
+    op = mg.fine_op
+    fj = jnp.asarray(op.to_internal(f * mask))
+    res = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=1e-8, maxiter=60)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 35, int(res.iterations)
