@@ -36,16 +36,17 @@ def log(*a):
 
 
 def main():
-    import numpy as np
-    import jax
-
-    if len(jax.devices()) < 8:
-        # self-provision an 8-device virtual CPU mesh in a subprocess (same
-        # recipe as tests/conftest.py; the in-process backend is already
-        # initialized, so the flag can't take effect here)
+    # Self-provision an 8-device virtual CPU mesh in a subprocess by default
+    # (same recipe as tests/conftest.py). NEVER probe jax.devices() on the
+    # decision path — initializing the axon TPU backend hangs indefinitely
+    # when the relay tunnel is down. On a real multi-chip slice, run with
+    # FEMX_DIST_BACKEND=native to use the in-process backend's devices.
+    if (os.environ.get("FEMX_DIST_BACKEND", "virtual") == "virtual"
+            and os.environ.get("_FEMX_DIST_CHILD") != "1"):
         import subprocess
 
         env = dict(os.environ)
+        env["_FEMX_DIST_CHILD"] = "1"
         flags = env.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             env["XLA_FLAGS"] = (
@@ -57,6 +58,9 @@ def main():
             [sys.executable, "-c", code], env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ).returncode)
+
+    import numpy as np
+    import jax
 
     from femx.analysis import SolidReactionAnalysis
     from femx.mesh import box_tet10_from_cells

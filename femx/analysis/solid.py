@@ -948,15 +948,21 @@ class SolidReactionAnalysis:
 
             m_int = op.lumped_mass_diagonal(rho)
 
-            if (self.devices or 0) > 1 and not refine:
+            if (self.devices or 0) > 1:
                 # devices= extends to modal: inner K-solves run z-slab-
                 # distributed (femx.parallel.modal). The hierarchy is a
-                # disk-cache hit after solve(); fall back on ValueError
-                # (refine=True keeps the single-device accurate-solve path).
+                # disk-cache hit after solve(); fall back on ValueError.
+                # refine=True composes (round 4): the Rayleigh-Ritz
+                # refinement's accurate solves also run distributed — f32
+                # operators wrap pcg_halo in the adaptive f64 refinement
+                # scheme, f64 operators tighten the distributed tolerance —
+                # and self.modal_error_bounds gets the same per-mode Ritz
+                # bounds as the single-device path.
                 try:
                     from jax.sharding import Mesh as _JMesh
 
-                    from femx.parallel.halo import DistributedMultigrid
+                    from femx.parallel.halo import (DistributedMultigrid,
+                                                    pcg_halo)
                     from femx.parallel.modal import modal_shift_invert_halo
 
                     mask_g = self.constraints.free_mask()
@@ -970,9 +976,54 @@ class SolidReactionAnalysis:
                     dmesh = _JMesh(np.array(devs[:int(self.devices)]),
                                    ("z",))
                     dmg = DistributedMultigrid(mg, dmesh)
+                    prec = dmg.preconditioner()  # shared: one traced solver
                     res = modal_shift_invert_halo(
                         dmg, m_int, op.free_mask, n_modes=n_modes,
-                        tol=tol, maxiter=maxiter, inner_tol=inner_tol)
+                        tol=tol, maxiter=maxiter, inner_tol=inner_tol,
+                        preconditioner=prec)
+                    if refine:
+                        is_f32 = np.dtype(op.Kcell.dtype) == np.float32
+                        if is_f32:
+                            op64 = op.astype(np.float64)
+
+                            def ks_acc(b):
+                                # adaptive guarded f64 refinement around the
+                                # distributed f32 inner solves (the
+                                # parallel.driver scheme; residuals through
+                                # the f64 single-device operator)
+                                b64 = jnp.asarray(b, jnp.float64)
+                                bn = float(jnp.linalg.norm(b64)) or 1.0
+                                x, *_ = pcg_halo(
+                                    dmg.halo, np.asarray(b, np.float32),
+                                    tol=1e-5, preconditioner=prec)
+                                x = jnp.asarray(x, jnp.float64)
+                                rn_prev = np.inf
+                                for _ in range(6):
+                                    r = b64 - _jit_apply_op(x, op64)
+                                    rn = float(jnp.linalg.norm(r)) / bn
+                                    if rn <= 1e-9 or rn >= rn_prev:
+                                        break
+                                    rn_prev = rn
+                                    d, *_ = pcg_halo(
+                                        dmg.halo,
+                                        np.asarray(r, dtype=np.float32),
+                                        tol=1e-5, preconditioner=prec)
+                                    x_new = x + jnp.asarray(d, jnp.float64)
+                                    rn_new = float(jnp.linalg.norm(
+                                        b64 - _jit_apply_op(x_new, op64))) / bn
+                                    if rn_new < rn:
+                                        x = x_new
+                                    else:
+                                        break
+                                return x
+                        else:
+                            def ks_acc(b):
+                                x, *_ = pcg_halo(
+                                    dmg.halo, np.asarray(b, np.float64),
+                                    tol=1e-11, maxiter=6000,
+                                    preconditioner=prec)
+                                return jnp.asarray(x)
+                        res = self._refine_modal(res, ks_acc, m_int)
                     modes_g = np.stack(
                         [op.to_global(np.asarray(res.modes[:, j]))
                          for j in range(res.modes.shape[1])], axis=1)
@@ -980,7 +1031,8 @@ class SolidReactionAnalysis:
                         omega=res.omega, modes=jnp.asarray(modes_g),
                         iterations=res.iterations)
                     self._log(
-                        f"   - Modal ({self.devices} devices): f = "
+                        f"   - Modal ({self.devices} devices"
+                        + (", Ritz-refined" if refine else "") + "): f = "
                         + ", ".join(f"{w / (2 * np.pi):.3f}"
                                     for w in np.asarray(res.omega))
                         + " Hz")

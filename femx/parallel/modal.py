@@ -34,6 +34,7 @@ def modal_shift_invert_halo(
     maxiter: int = 100,
     inner_tol: float = 1e-6,
     inner_maxiter: int = 4000,
+    preconditioner=None,
 ) -> ModalResult:
     """First n_modes of K v = lambda M v with distributed inner solves.
 
@@ -42,10 +43,14 @@ def modal_shift_invert_halo(
         (its fine level IS the K being inverted).
       m_diag_internal: (ndof,) lumped-mass diagonal, internal layout.
       free_mask_internal: (ndof,) 1/0 free mask, internal layout.
+      preconditioner: a dmg.preconditioner() factory to share with other
+        pcg_halo callers (its identity keys the traced-solver cache, so
+        sharing one avoids a second compile); built here when None.
     Returns femx.modal.ModalResult in the INTERNAL DOF layout (callers
     convert with op.to_global per mode, as with modal_shift_invert).
     """
-    prec = dmg.preconditioner()  # built once; reused by every inner solve
+    # built once; reused by every inner solve
+    prec = dmg.preconditioner() if preconditioner is None else preconditioner
 
     def k_solve(b):
         x, _it, res, ok = pcg_halo(

@@ -23,6 +23,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute distributed/MG/e2e tests; excluded from the "
+        "fast lane (`pytest -m 'not slow'`, < 5 minutes) — run the full "
+        "suite before landing solver or parallel changes")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

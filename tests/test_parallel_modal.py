@@ -128,3 +128,39 @@ def test_pipeline_modal_devices_unstructured():
     md = run(devices=8)
     np.testing.assert_allclose(np.asarray(md.omega), np.asarray(m1.omega),
                                rtol=1e-5)
+
+
+def test_pipeline_modal_devices_refine_bounds():
+    """modal(refine=True) composes with devices=N (round 4): the distributed
+    path runs the inverse-iteration + Rayleigh-Ritz refinement through
+    distributed accurate solves, stores per-mode Ritz error bounds, and the
+    refined frequencies match the single-device refined path tightly."""
+    from femx.analysis import SolidReactionAnalysis
+
+    cells = (4, 4, 16)
+    h = 0.05
+    mesh = box_tet10_from_cells(cells, (h, h, h))
+    zmax = float(mesh.points[:, 2].max())
+    fixes = [{"pos_x": p[0], "pos_y": p[1], "pos_z": 0.0,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for p in [(0, 0), (0, cells[1] * h), (cells[0] * h, 0),
+                       (cells[0] * h, cells[1] * h)]]
+    forces = [{"force_x": 0, "force_y": -500.0, "force_z": 0,
+               "force_x_pstn": cells[0] * h / 2,
+               "force_y_pstn": cells[1] * h / 2, "force_z_pstn": zmax}]
+
+    def run(devices=None):
+        fa = SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                                   verbose=False, devices=devices,
+                                   cg_tol=1e-10)
+        fa.run_simulation()
+        res = fa.modal(n_modes=3, tol=1e-7, inner_tol=1e-9, refine=True)
+        return res, fa.modal_error_bounds, fa.solve_info
+
+    md, bounds_d, info_d = run(devices=8)
+    assert info_d.get("devices") == 8, info_d
+    assert bounds_d is not None and bounds_d.shape == (3,)
+    assert np.all(bounds_d < 1e-6), bounds_d  # f64 path: tight Ritz bounds
+    m1, bounds_1, _ = run()
+    np.testing.assert_allclose(np.asarray(md.omega), np.asarray(m1.omega),
+                               rtol=1e-8)
