@@ -20,6 +20,7 @@ are identical either way since r = K u).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional, Sequence, Union
 
@@ -47,6 +48,15 @@ from femx.solve.dense import solve_dense
 # arrays become compiled-program constants and dominate the remote-compile
 # payload); tol/maxiter are traced scalars so retuning them doesn't retrace.
 # ---------------------------------------------------------------------------
+def _bj_apply(op_, bj_data, r):
+    """Block-Jacobi application for either internal-order unstructured
+    operator: SolidOperatorTG carries its tensors on .soa ((3,3,N) cols),
+    SolidOperatorCluster on itself ((N,3,3) blocks). Static Python dispatch —
+    resolved at trace time, zero runtime cost."""
+    src = getattr(op_, "soa", op_)
+    return type(src).apply_block_jacobi(bj_data, r)
+
+
 @jax.jit
 def _jit_pcg_mg(fv, mg_, tol, maxiter):
     return pcg(mg_.fine_op.apply_constrained, fv, M_inv_diag=mg_,
@@ -88,7 +98,7 @@ def _jit_pcg_st_bj_cases(F, op_, binv, tol, maxiter):
 def _jit_pcg_op_bj_cases(F, op_, bj_data, tol, maxiter):
     def one(fv):
         r = pcg(op_.apply_constrained, fv,
-                M_inv_diag=lambda v: op_.soa.apply_block_jacobi(bj_data, v),
+                M_inv_diag=lambda v: _bj_apply(op_, bj_data, v),
                 tol=tol, maxiter=maxiter)
         return r.x, r.iterations, r.residual_norm
 
@@ -112,7 +122,7 @@ def _jit_pcg_op_precond(fv, op_, precond_, tol, maxiter):
 @jax.jit
 def _jit_pcg_op_bj(fv, op_, bj_data, tol, maxiter):
     return pcg(op_.apply_constrained, fv,
-               M_inv_diag=lambda r: op_.soa.apply_block_jacobi(bj_data, r),
+               M_inv_diag=lambda r: _bj_apply(op_, bj_data, r),
                tol=tol, maxiter=maxiter)
 
 
@@ -143,7 +153,7 @@ def _jit_pcg_refined_op_precond(fv, fv64, op_, op64_, precond_, tol, outer_tol):
 @jax.jit
 def _jit_pcg_refined_op_bj(fv, fv64, op_, op64_, bj_data, tol, outer_tol):
     return pcg_refined(op_.apply_constrained, fv,
-                       M_inv_diag=lambda r: op_.soa.apply_block_jacobi(bj_data, r),
+                       M_inv_diag=lambda r: _bj_apply(op_, bj_data, r),
                        tol=tol, refine_steps=8,
                        A_residual=op64_.apply_constrained, b_residual=fv64,
                        outer_tol=outer_tol)
@@ -174,7 +184,7 @@ def _jit_pcg_op_precond_chunk(fv, x0, op_, precond_, tol, maxiter):
 @jax.jit
 def _jit_pcg_op_bj_chunk(fv, x0, op_, bj_data, tol, maxiter):
     return pcg(op_.apply_constrained, fv,
-               M_inv_diag=lambda r: op_.soa.apply_block_jacobi(bj_data, r),
+               M_inv_diag=lambda r: _bj_apply(op_, bj_data, r),
                x0=x0, tol=tol, maxiter=maxiter)
 
 
@@ -204,6 +214,7 @@ class SolidReactionAnalysis:
         devices: Optional[int] = None,
         checkpoint: Optional[str] = None,
         checkpoint_chunk: int = 500,
+        unstructured_operator: Optional[str] = None,
     ):
         self.msh_file = msh_file
         self.force_data = list(force_data)
@@ -226,6 +237,17 @@ class SolidReactionAnalysis:
         # the structured, unstructured and devices=N solve paths.
         self.checkpoint = checkpoint
         self.checkpoint_chunk = int(checkpoint_chunk)
+        # Large-unstructured operator family: "tg" (transpose-gather,
+        # femx.assembly_tg — the default) or "cluster" (Morton-clustered
+        # dense blocks, femx.assembly_cluster — ~4x fewer gather rows per
+        # apply at the cost of a heavier host-side build; opt in per
+        # analysis or globally via FEMX_UNSTRUCTURED_OP=cluster).
+        uop = unstructured_operator or os.environ.get(
+            "FEMX_UNSTRUCTURED_OP", "tg")
+        if uop not in ("tg", "cluster"):
+            raise ValueError(
+                f"unstructured_operator must be 'tg' or 'cluster', got {uop!r}")
+        self.unstructured_operator = uop
 
         self.pd = 3
         self.u: Optional[np.ndarray] = None
@@ -288,14 +310,24 @@ class SolidReactionAnalysis:
         ):
             # Large unstructured: transpose-gather operator (scatter-free;
             # measured 39 ms vs 139 ms per apply @ 1.39M DOF on v5e — see
-            # femx.assembly_tg). Runs in an internal degree-sorted node
-            # order; solve() converts layouts once per solve.
-            from femx.assembly_tg import SolidOperatorTG
+            # femx.assembly_tg), or the Morton-clustered dense-block
+            # operator (femx.assembly_cluster, ~4x fewer gather rows) when
+            # unstructured_operator="cluster". Both run in an internal
+            # node order; solve() converts layouts once per solve.
+            if self.unstructured_operator == "cluster":
+                from femx.assembly_cluster import SolidOperatorCluster
 
-            self.operator, detJ = SolidOperatorTG.from_mesh(
-                self.points, self.tetra10_conn, self.E, self.v,
-                weight=self.weight, dtype=self.dtype or np.float64,
-            )
+                self.operator, detJ = SolidOperatorCluster.from_mesh(
+                    self.points, self.tetra10_conn, self.E, self.v,
+                    weight=self.weight, dtype=self.dtype or np.float64,
+                )
+            else:
+                from femx.assembly_tg import SolidOperatorTG
+
+                self.operator, detJ = SolidOperatorTG.from_mesh(
+                    self.points, self.tetra10_conn, self.E, self.v,
+                    weight=self.weight, dtype=self.dtype or np.float64,
+                )
             self.negative_detJ_count = int(jnp.sum(detJ <= 1e-12))
             self._structured = False
         else:
@@ -498,10 +530,12 @@ class SolidReactionAnalysis:
             self.stage_times["solve"] = time.perf_counter() - t0
             return
 
+        from femx.assembly_cluster import SolidOperatorCluster
         from femx.assembly_tg import SolidOperatorTG
 
-        if isinstance(self.operator, SolidOperatorTG):
-            # transpose-gather operator: internal degree-sorted node order
+        if isinstance(self.operator, (SolidOperatorTG, SolidOperatorCluster)):
+            # internal-order unstructured operator (degree-sorted for TG,
+            # cluster-degree-sorted for cluster) — same solve machinery
             op = self.operator
             dtype = op.dtype
             mask_g = self.constraints.free_mask()
@@ -512,10 +546,12 @@ class SolidReactionAnalysis:
             # below can enter jit as ARGUMENTS (closures embed the operator/
             # preconditioner arrays as compiled constants — at 1M+ DOF that
             # exceeds the remote-compile payload limit outright).
-            bj_data = op.soa.block_jacobi_tensors()
-            bj_fn = type(op.soa).apply_block_jacobi
+            bj_src = getattr(op, "soa", op)
+            bj_data = bj_src.block_jacobi_tensors()
+            bj_fn = type(bj_src).apply_block_jacobi
             minv = None
-            method_prefix = "tg_block_jacobi"
+            op_tag = ("tg" if isinstance(op, SolidOperatorTG) else "cluster")
+            method_prefix = f"{op_tag}_block_jacobi"
             if ndof > self.MG_DOF_THRESHOLD:
                 # auxiliary structured-lattice MG coarse correction: cuts
                 # block-Jacobi's O(1000) iterations ~15x (measured; see
@@ -528,7 +564,7 @@ class SolidReactionAnalysis:
                         mask_g, dtype=np.dtype(dtype).type,
                         node_perm=op.new_of_old, bj_fn=bj_fn, bj_data=bj_data,
                     )
-                    method_prefix = "tg_lattice_mg"
+                    method_prefix = f"{op_tag}_lattice_mg"
                 except ValueError as e:
                     self._log(f"   - Lattice preconditioner unavailable ({e}); "
                               "using block-Jacobi.")
@@ -1095,6 +1131,7 @@ class SolidReactionAnalysis:
             res = ModalResult(omega=res.omega, modes=jnp.asarray(modes),
                               iterations=res.iterations)
         else:
+            from femx.assembly_cluster import SolidOperatorCluster
             from femx.assembly_tg import SolidOperatorTG
 
             conn = np.asarray(self.tetra10_conn)
@@ -1103,8 +1140,8 @@ class SolidReactionAnalysis:
             m_node = np.zeros(self.num_nodes)
             np.add.at(m_node, conn, ml)
             m_dof = np.repeat(m_node, 3)
-            is_tg = isinstance(op, SolidOperatorTG)
-            if is_tg:  # internal degree-sorted layout
+            is_tg = isinstance(op, (SolidOperatorTG, SolidOperatorCluster))
+            if is_tg:  # internal (degree- or cluster-degree-sorted) layout
                 m_use = op.to_internal(m_dof)
                 dtype = op.dtype
             else:
@@ -1154,11 +1191,13 @@ class SolidReactionAnalysis:
 
                 state = (op, precond, float(inner_tol), 4000)
             elif is_tg:
+                from femx.assembly_cluster import ClusterBJPrecond
                 from femx.assembly_soa import BlockJacobiPrecond
 
                 bj_data = (precond[1] if isinstance(precond, tuple)
-                           else op.soa.block_jacobi_tensors())
-                bj_obj = BlockJacobiPrecond(bj_data)
+                           else getattr(op, "soa", op).block_jacobi_tensors())
+                bj_obj = (BlockJacobiPrecond(bj_data) if hasattr(op, "soa")
+                          else ClusterBJPrecond(bj_data))
 
                 def k_solve(b):
                     return _jit_pcg_op_bj(b, op, bj_data, inner_tol, 4000).x

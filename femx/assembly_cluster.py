@@ -369,3 +369,22 @@ class _HostArr:
 jax.tree_util.register_pytree_node(
     SolidOperatorCluster, _cluster_flatten, _cluster_unflatten
 )
+
+
+class ClusterBJPrecond:
+    """Callable pytree wrapper for the cluster block-Jacobi tensors
+    ((N, 3, 3) layout) — the analog of assembly_soa.BlockJacobiPrecond, so
+    the preconditioner can travel through jit as an ARGUMENT."""
+
+    def __init__(self, tensors):
+        self.tensors = tensors
+
+    def __call__(self, r):
+        return SolidOperatorCluster.apply_block_jacobi(self.tensors, r)
+
+
+jax.tree_util.register_pytree_node(
+    ClusterBJPrecond,
+    lambda p: ((p.tensors,), ()),
+    lambda aux, ch: ClusterBJPrecond(ch[0]),
+)

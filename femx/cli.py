@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resumable solve: persist CG state to PATH.npz "
                          "between iteration chunks and resume from it on "
                          "re-run (crash/preemption recovery)")
+    so.add_argument("--unstructured-op", choices=["tg", "cluster"],
+                    default=None,
+                    help="operator family for large unstructured meshes: "
+                         "transpose-gather (default) or Morton-clustered "
+                         "dense blocks (fewer gather rows, heavier build)")
     so.add_argument("--checkpoint-chunk", type=int, default=500,
                     help="iterations per checkpoint segment (default 500)")
     so.add_argument("--modal", type=int, default=0, metavar="N",
@@ -202,7 +207,8 @@ def main(argv=None) -> int:
                                    compat=compat, solver=args.solver,
                                    devices=args.devices,
                                    checkpoint=args.checkpoint,
-                                   checkpoint_chunk=args.checkpoint_chunk)
+                                   checkpoint_chunk=args.checkpoint_chunk,
+                                   unstructured_operator=args.unstructured_op)
         fa.run_simulation(report=False)
         if args.stress:
             import numpy as np

@@ -85,3 +85,62 @@ def test_cluster_row_count_advantage(meshdata):
     # this tiny mesh is mostly surface (clusters share less); the ratio
     # improves toward ~0.4 at the 1.39M flagship
     assert op.gather_rows() < 0.75 * 20 * E, (op.gather_rows(), 20 * E)
+
+
+def test_pipeline_cluster_operator_route(tmp_path):
+    """unstructured_operator="cluster" routes a big unstructured mesh
+    through SolidOperatorCluster end-to-end and matches the TG route."""
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh import write_msh
+
+    dims = (0.2, 0.2, 0.6)
+    mesh = box_tet10(*dims, mesh_size=0.04,
+                     force_points=[(0.1, 0.2, 0.3)],
+                     fix_points=[(0, 0, 0), (0.2, 0, 0), (0, 0, 0.6),
+                                 (0.2, 0, 0.6)])
+    forces = [{"force_x": 0, "force_y": 3000.0, "force_z": 0,
+               "force_x_pstn": 0.1, "force_y_pstn": 0.2, "force_z_pstn": 0.3}]
+    fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for x, z in [(0, 0), (0.2, 0), (0, 0.6), (0.2, 0.6)]]
+
+    p = str(tmp_path / "box.msh")
+    write_msh(p, mesh)
+    fa_t = SolidReactionAnalysis(p, forces, fixes, E=2e11, v=0.3,
+                                 verbose=False)
+    assert 3 * fa_t.num_nodes > fa_t.DENSE_DOF_LIMIT
+    fa_t.run_simulation()
+    assert fa_t.solve_info["method"].startswith("tg_")
+
+    fa_c = SolidReactionAnalysis(p, forces, fixes, E=2e11, v=0.3,
+                                 verbose=False,
+                                 unstructured_operator="cluster")
+    fa_c.run_simulation()
+    assert isinstance(fa_c.operator, SolidOperatorCluster)
+    assert fa_c.solve_info["method"].startswith("cluster_")
+    assert fa_c.solve_info["converged"]
+
+    scale = np.abs(fa_t.u).max()
+    np.testing.assert_allclose(fa_c.u, fa_t.u, atol=1e-7 * scale)
+    np.testing.assert_allclose(fa_c.reaction_forces, fa_t.reaction_forces,
+                               atol=1e-6 * np.abs(fa_t.reaction_forces).max())
+    np.testing.assert_allclose(fa_c.equilibrium_residual(), 0, atol=1e-6)
+
+    # modal + solve_cases compose with the cluster operator
+    m_t = fa_t.modal(n_modes=3, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+    m_c = fa_c.modal(n_modes=3, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+    np.testing.assert_allclose(np.asarray(m_c.omega), np.asarray(m_t.omega),
+                               rtol=1e-5)
+    cases = [forces, [{**forces[0], "force_y": -1500.0}]]
+    U_t = fa_t.solve_cases(cases)
+    U_c = fa_c.solve_cases(cases)
+    np.testing.assert_allclose(U_c, U_t, atol=1e-6 * np.abs(U_t).max())
+
+
+def test_unstructured_operator_validation():
+    from femx.analysis import SolidReactionAnalysis
+
+    mesh = box_tet10(0.2, 0.2, 0.2, 0.1)
+    with pytest.raises(ValueError, match="unstructured_operator"):
+        SolidReactionAnalysis(mesh, [], [], E=2e11, v=0.3, verbose=False,
+                              unstructured_operator="nope")
