@@ -445,6 +445,7 @@ class SolidReactionAnalysis:
                         None, info.n_cells, self.E, self.v, mask_g,
                         weight=self.weight, dtype=np.dtype(dtype).type,
                         fine_op=op, spacing=info.spacing,
+                        smoother=os.environ.get("FEMX_MG_SMOOTHER", "jacobi"),
                     )
                     method = "structured_multigrid_pcg"
                 except ValueError as e:

@@ -58,13 +58,16 @@ def _mg_cache_dir() -> str | None:
 
 
 def _mg_cache_key(n, sp, E, nu, weight, dtype, n_smooth, omega,
-                  coarse_dof_limit, mask_grid) -> str:
+                  coarse_dof_limit, mask_grid, extra: str = "") -> str:
     h = hashlib.sha256()
-    h.update(repr((
+    key = (
         _MG_CACHE_VERSION, tuple(n), tuple(sp), float(E), float(nu),
         None if weight is None else float(weight), np.dtype(dtype).name,
         int(n_smooth), float(omega), int(coarse_dof_limit),
-    )).encode())
+    )
+    # non-default smoother tags are appended so the default ("") keys stay
+    # byte-identical to pre-chebyshev caches
+    h.update(repr(key + ((extra,) if extra else ())).encode())
     h.update(np.packbits(
         np.ascontiguousarray(mask_grid > 0.5).reshape(-1)).tobytes())
     return h.hexdigest()[:32]
@@ -316,7 +319,20 @@ class StructuredMultigrid:
         # ABOVE coarse_dense_limit (see the level-spec comment). False
         # reproduces the pre-round-4 behavior (raise on stuck hierarchies).
         pad_odd_axes: bool = True,
+        # Smoother family: "jacobi" (damped block-Jacobi, n_smooth sweeps)
+        # or "chebyshev" (degree-n_smooth Chebyshev polynomial in M^-1 K on
+        # [cheb_lower, cheb_upper] * lambda_max — same cost per degree as
+        # one Jacobi sweep: 1 apply + 1 block-Jacobi solve).
+        smoother: str = "jacobi",
+        cheb_lower: float = 1.0 / 30.0,
+        cheb_upper: float = 1.1,
     ):
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"smoother must be 'jacobi' or 'chebyshev', "
+                             f"got {smoother!r}")
+        self.smoother = smoother
+        self.cheb_lower = float(cheb_lower)
+        self.cheb_upper = float(cheb_upper)
         self.n_smooth = n_smooth
         self.sweeps = None  # optional per-level sweep counts (None: n_smooth)
         self.omega = omega
@@ -433,8 +449,11 @@ class StructuredMultigrid:
                 f"{tuple(n_cells)} do not coarsen far enough"
             )
 
+        extra = ("" if smoother == "jacobi"
+                 else f"cheb:{self.cheb_lower}:{self.cheb_upper}")
         ck = _mg_cache_key(specs[0][0], specs[0][1], E, nu, weight, dtype,
-                           n_smooth, omega, coarse_dof_limit, specs[0][2])
+                           n_smooth, omega, coarse_dof_limit, specs[0][2],
+                           extra=extra)
         cached = _mg_cache_load(ck)
         level_cells = np.asarray([s_[0] for s_ in specs], dtype=np.int64)
         if cached is not None and (
@@ -506,15 +525,30 @@ class StructuredMultigrid:
         # big isotropic fine grids, where it costs seconds).
         if cached is not None:
             self.omegas = [float(w) for w in cached["omegas"]]
+            self.lmaxs = ([float(v) for v in cached["lmaxs"]]
+                          if "lmaxs" in cached else None)
         else:
             self.omegas = []
+            self.lmaxs = [] if smoother == "chebyshev" else None
             for (ni, spi, _mg, wts), lvl, binv_h in zip(specs, self.levels,
                                                         binv_hosts):
-                # anisotropic spacing AND ghost-weighted levels both shift
-                # lambda_max(M^-1 K) away from the isotropic tuning — run
-                # the (cheap, coarse-level-only) power iteration for either
-                if (max(spi) / min(spi) > 1.01
-                        or any(w is not None for w in wts)):
+                weighted = any(w is not None for w in wts)
+                aniso = max(spi) / min(spi) > 1.01
+                if smoother == "chebyshev":
+                    # Chebyshev needs lambda_max(M^-1 K) on EVERY level. It
+                    # is a local (stencil) quantity: unweighted levels use a
+                    # small same-spacing-ratio proxy lattice (so 10M+-DOF
+                    # fine levels skip the 15-apply host power iteration);
+                    # ghost-weighted levels are coarse — iterate directly.
+                    lm = (_power_lambda_max(lvl.op, binv_h) if weighted
+                          else _proxy_lambda_max(spi, nu, dtype))
+                    self.lmaxs.append(float(lm))
+                    self.omegas.append(min(omega, 4.0 / (3.0 * lm)))
+                elif aniso or weighted:
+                    # anisotropic spacing AND ghost-weighted levels both
+                    # shift lambda_max(M^-1 K) away from the isotropic
+                    # tuning — run the (cheap, coarse-level-only) power
+                    # iteration for either
                     self.omegas.append(
                         min(omega,
                             4.0 / (3.0 * _power_lambda_max(lvl.op, binv_h)))
@@ -567,6 +601,8 @@ class StructuredMultigrid:
         payload = {"n_levels": np.int64(len(specs)),
                    "level_cells": level_cells,
                    "omegas": np.asarray(self.omegas, dtype=np.float64),
+                   **({} if self.lmaxs is None
+                      else {"lmaxs": np.asarray(self.lmaxs, np.float64)}),
                    "coarse_kinv": Kinv.astype(dtype)}
         for i, bh in enumerate(binv_hosts):
             for p, b in enumerate(bh):
@@ -584,13 +620,52 @@ class StructuredMultigrid:
             x = x + om * lvl.minv(b - lvl.op.apply_constrained(x))
         return x
 
+    def _smooth_cheb(self, k: int, x, b, degree: int):
+        """Chebyshev(degree) polynomial smoothing in M^-1 K on
+        [cheb_lower, cheb_upper] * lambda_max (Saad, Iterative Methods,
+        alg. 12.1, block-Jacobi preconditioned). Cost per degree == one
+        damped-Jacobi sweep (1 operator apply + 1 block-Jacobi solve), but
+        the optimal polynomial damps the whole smoothing band instead of a
+        single-omega slice. x=None means zero initial guess (pre-smoothing:
+        saves the initial apply, like the Jacobi path's zeros start).
+        Fixed real polynomial + SPD M keeps the V-cycle SPD for CG. All
+        recurrence scalars are Python floats (numpy f64 scalars silently
+        promote f32 device math to emulated f64 on TPU)."""
+        lvl = self.levels[k]
+        lm = float(self.lmaxs[k])
+        a = self.cheb_lower * lm
+        bb = self.cheb_upper * lm
+        theta = 0.5 * (bb + a)
+        delta = 0.5 * (bb - a)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = b if x is None else b - lvl.op.apply_constrained(x)
+        d = (1.0 / theta) * lvl.minv(r)
+        for _ in range(degree - 1):
+            x = d if x is None else x + d
+            r = r - lvl.op.apply_constrained(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * lvl.minv(r)
+            rho = rho_new
+        return d if x is None else x + d
+
+    def _presmooth(self, k: int, b, sweeps: int):
+        if self.smoother == "chebyshev":
+            return self._smooth_cheb(k, None, b, sweeps)
+        return self._smooth(k, jnp.zeros_like(b), b, sweeps)
+
+    def _postsmooth(self, k: int, x, b, sweeps: int):
+        if self.smoother == "chebyshev":
+            return self._smooth_cheb(k, x, b, sweeps)
+        return self._smooth(k, x, b, sweeps)
+
     def _vcycle(self, k: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl = self.levels[k]
         if k == len(self.levels) - 1:
             return self._coarse_solve(b)
         sweeps = (self.sweeps[k] if getattr(self, "sweeps", None)
                   else self.n_smooth)
-        x = self._smooth(k, jnp.zeros_like(b), b, sweeps)
+        x = self._presmooth(k, b, sweeps)
         r = b - lvl.op.apply_constrained(x)
         nxt = self.levels[k + 1]
         axes = self._coarsen_axes[k]
@@ -610,7 +685,7 @@ class StructuredMultigrid:
             Px, Py, Pz = lvl.op.grid_shape
             e_full = e_full[:, :Px, :Py, :Pz]
         x = x + _split_full(lvl.op, e_full) * lvl.op.free_mask
-        return self._smooth(k, x, b, sweeps)
+        return self._postsmooth(k, x, b, sweeps)
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         """Preconditioner application M^-1 r (internal layout of the finest
@@ -654,6 +729,31 @@ def _power_lambda_max(op: StructuredSolidOperator, binv, iters: int = 15) -> flo
             v, lam_j = step(v)
         lam = float(lam_j)
     return 1.05 * lam
+
+
+_PROXY_LMAX_CACHE: dict = {}
+
+
+def _proxy_lambda_max(spacing, nu, dtype, cells: int = 4) -> float:
+    """lambda_max(M^-1 K) of the block-Jacobi-preconditioned lattice
+    operator, computed on a SMALL all-free proxy lattice with the same
+    spacing RATIOS. Valid because the quantity is (a) invariant to global
+    scaling of K — E, quadrature weight and uniform spacing scale the
+    block-Jacobi M identically — and (b) local: the top of the spectrum
+    lives on interior 8-cell node patches, so a 4^3-cell lattice already
+    contains the extremal patch (asserted against the direct power
+    iteration in tests/test_multigrid.py). Lets chebyshev hierarchies skip
+    15 host applies of the full fine operator at 10M+ DOF."""
+    smin = min(float(s) for s in spacing)
+    ratios = tuple(round(float(s) / smin, 9) for s in spacing)
+    key = (ratios, round(float(nu), 12), np.dtype(dtype).name, int(cells))
+    if key not in _PROXY_LMAX_CACHE:
+        op = StructuredSolidOperator.from_lattice(
+            (cells,) * 3, ratios, 1.0, nu, dtype=dtype)
+        op = op.with_free_mask(np.ones(op.ndof, dtype=np.float64))
+        binv = [np.asarray(b) for b in op.block_jacobi_tensors()]
+        _PROXY_LMAX_CACHE[key] = _power_lambda_max(op, binv)
+    return _PROXY_LMAX_CACHE[key]
 
 
 def _dense_structured_K(n_cells, spacing, E, nu, weight,
@@ -705,18 +805,24 @@ def _mg_flatten(mg: StructuredMultigrid):
     children = (mg.levels, mg._coarse_inv)
     aux = (mg.n_smooth, mg.omega, tuple(mg.omegas), tuple(mg._coarsen_axes),
            tuple(getattr(mg, "_pad_nodes", ())),
-           None if getattr(mg, "sweeps", None) is None else tuple(mg.sweeps))
+           None if getattr(mg, "sweeps", None) is None else tuple(mg.sweeps),
+           getattr(mg, "smoother", "jacobi"),
+           None if getattr(mg, "lmaxs", None) is None else tuple(mg.lmaxs),
+           getattr(mg, "cheb_lower", 1.0 / 30.0),
+           getattr(mg, "cheb_upper", 1.1))
     return children, aux
 
 
 def _mg_unflatten(aux, children):
     out = object.__new__(StructuredMultigrid)
     out.levels, out._coarse_inv = children
-    out.n_smooth, out.omega, omegas, coarsen, pads, sweeps = aux
+    (out.n_smooth, out.omega, omegas, coarsen, pads, sweeps,
+     out.smoother, lmaxs, out.cheb_lower, out.cheb_upper) = aux
     out.omegas = list(omegas)
     out._coarsen_axes = list(coarsen)
     out._pad_nodes = list(pads)
     out.sweeps = None if sweeps is None else list(sweeps)
+    out.lmaxs = None if lmaxs is None else list(lmaxs)
     return out
 
 

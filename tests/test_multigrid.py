@@ -326,3 +326,52 @@ def test_mg_even_grids_never_pad():
     res = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=1e-8, maxiter=60)
     assert bool(res.converged)
     assert int(res.iterations) <= 35, int(res.iterations)
+
+
+def test_chebyshev_smoother_converges_and_matches():
+    """smoother="chebyshev": same per-degree cost as damped Jacobi, SPD
+    (CG's rz>0 guard would trip otherwise), same solution, and no more
+    iterations than the Jacobi smoother on this grid."""
+    dims = (0.4, 0.4, 2.0)
+    mesh, mask, f = _cantilever(dims, 0.1)
+    kw = dict(dtype=np.float64, coarse_dof_limit=3000)
+    mg_j = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3,
+                               mask, **kw)
+    mg_c = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3,
+                               mask, smoother="chebyshev", cheb_lower=1 / 8,
+                               **kw)
+    assert mg_c.lmaxs is not None and len(mg_c.lmaxs) == len(mg_c.levels)
+    op = mg_j.fine_op
+    fj = jnp.asarray(op.to_internal(f * mask))
+    r_j = pcg(op.apply_constrained, fj, M_inv_diag=mg_j, tol=1e-10,
+              maxiter=200)
+    r_c = pcg(mg_c.fine_op.apply_constrained, fj, M_inv_diag=mg_c,
+              tol=1e-10, maxiter=200)
+    assert bool(r_c.converged)
+    assert int(r_c.iterations) <= int(r_j.iterations)
+    np.testing.assert_allclose(np.asarray(r_c.x), np.asarray(r_j.x),
+                               atol=1e-8 * np.abs(np.asarray(r_j.x)).max())
+
+
+def test_proxy_lambda_max_matches_direct():
+    """The small-lattice proxy estimate of lambda_max(M^-1 K) must agree
+    with the direct power iteration on a real masked level (the Chebyshev
+    interval rests on it)."""
+    from femx.solve.multigrid import _power_lambda_max, _proxy_lambda_max
+    from femx.assembly_structured import StructuredSolidOperator
+
+    for spacing in [(0.1, 0.1, 0.1), (0.05, 0.1, 0.2)]:
+        op = StructuredSolidOperator.from_lattice((6, 6, 6), spacing,
+                                                  2e11, 0.3,
+                                                  dtype=np.float64)
+        mask = np.ones(op.ndof)
+        mask[:3 * 13 * 13] = 0.0  # a fixed z=0 plane, raster order
+        op = op.with_free_mask(op.to_internal(mask))
+        binv = [np.asarray(b) for b in op.block_jacobi_tensors()]
+        direct = _power_lambda_max(op, binv)
+        proxy = _proxy_lambda_max(spacing, 0.3, np.float64)
+        # proxy is all-free: it may sit slightly above the masked direct
+        # value (safe side for the upper Chebyshev bound) but not below it
+        # by more than the power-iteration slack
+        assert proxy > 0.93 * direct, (proxy, direct)
+        assert proxy < 1.35 * direct, (proxy, direct)
