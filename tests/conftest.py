@@ -31,6 +31,79 @@ def pytest_configure(config):
         "suite before landing solver or parallel changes")
 
 
+# Fast-lane split (VERDICT r3 #6): everything measured >= ~8 s solo in the
+# 2026-08-18 full-suite durations run (/tmp/suite_r4b.out, --durations=0)
+# is marked slow HERE, in one tunable place, rather than scattering
+# decorators over 15 files. Deliberately kept FAST despite being near the
+# threshold: both reference goldens (the parity canaries) and the docx
+# report test. Prefix match so parametrized ids stay covered.
+_SLOW_TESTS = (
+    "test_assembly_cluster.py::test_cluster_constrained_solve_matches",
+    "test_assembly_cluster.py::test_pipeline_cluster_operator_route",
+    "test_assembly_tg.py::test_pipeline_routes_large_unstructured_through_tg",
+    "test_beam_analysis.py::test_cantilever_mesh_invariance",
+    "test_distributed_pipeline.py::test_driver_padding_is_exact",
+    "test_distributed_pipeline.py::test_pipeline_devices_matches_single_device",
+    "test_distributed_pipeline.py::test_pipeline_devices_unstructured_distributed",
+    "test_distributed_pipeline.py::test_pipeline_devices_unstructured_f32_refined",
+    "test_halo.py::test_distributed_multigrid_matches_single_device",
+    "test_lattice_precond.py::test_iteration_reduction_and_solution",
+    "test_lattice_precond.py::test_pruned_transfer_matches_dense",
+    "test_modal_structured.py::TestPipelineModal::test_structured_vs_unstructured_pipeline",
+    "test_modal_structured.py::TestPipelineModal::test_modal_refine_unstructured",
+    "test_modal_lobpcg.py::test_lobpcg_matches_dense_lowest_modes",
+    "test_modal_structured.py::TestShiftInvertModal::test_lobpcg_tol_wired",
+    "test_modal_structured.py::TestShiftInvertModal::test_matches_dense_eigh",
+    "test_modal_structured.py::TestShiftInvertModal::test_solid_modal_structured_mg",
+    "test_multigrid.py::test_chebyshev_smoother_converges_and_matches",
+    "test_multigrid.py::test_mg_anisotropic_semicoarsening_converges",
+    "test_multigrid.py::test_mg_auto_path_anisotropic_box_no_crash",
+    "test_multigrid.py::test_mg_cg_converges_fast_and_matches_bj",
+    "test_multigrid.py::test_mg_even_grids_never_pad",
+    "test_multigrid.py::test_mg_f32_converges",
+    "test_multigrid.py::test_mg_ghost_padded_vcycle_is_symmetric",
+    "test_multigrid.py::test_mg_ghost_padding_rescues_stuck_hierarchies",
+    "test_multigrid.py::test_mg_hierarchy_disk_cache_roundtrip",
+    "test_multigrid.py::test_mg_pytree_argument_equals_closure",
+    "test_multigrid.py::test_proxy_lambda_max_matches_direct",
+    "test_pallas.py::test_pallas_apply_matches_xla",
+    "test_parallel.py::test_distributed_cg_solution_matches",
+    "test_parallel.py::test_dof_sharded_apply_matches",
+    "test_parallel_modal.py::test_distributed_modal_matches_single_device",
+    "test_parallel_modal.py::test_pipeline_modal_devices",
+    "test_parallel_modal.py::test_pipeline_modal_devices_refine_bounds",
+    "test_parallel_modal.py::test_pipeline_modal_devices_unstructured",
+    "test_refined.py::test_adaptive_refinement_reaches_outer_tol_and_stops",
+    "test_reorder.py::test_operator_invariant_under_reorder",
+    "test_refined.py::test_f32_refined_matches_f64_to_1e8",
+    "test_sharded_structured.py::test_phase_apply_matches_flat",
+    "test_sharded_structured.py::test_slab_sharded_apply_matches",
+    "test_sharded_structured.py::test_slab_sharded_cg_matches_single_device",
+    "test_soa.py::test_block_jacobi_degenerate_node_is_finite",
+    "test_solve_cases.py::test_solve_cases_distributed_structured",
+    "test_solve_cases.py::test_solve_cases_unstructured",
+    "test_structured.py::test_apply_bit_equal",
+    "test_structured.py::test_constrained_solve_matches",
+    "test_tg_lattice.py::test_distributed_solve_collectives_are_surface_sized",
+    "test_tg_lattice.py::test_distributed_solve_device_count_invariance",
+    "test_tg_lattice.py::test_distributed_solve_jittered_mesh",
+    "test_tg_lattice.py::test_distributed_solve_matches_single_device",
+    "test_tg_sharded.py::test_sharded_pcg_matches_single_device",
+    "test_warping.py::test_box_J_vs_bredt",
+    "test_warping.py::test_circle_J_and_kappa",
+    "test_warping.py::test_hollow_circle_J",
+    "test_warping.py::test_i_section_J_vs_thin_wall",
+    "test_warping.py::test_rectangle_J_and_kappa",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        tail = item.nodeid.split("tests/")[-1]
+        if tail.startswith(_SLOW_TESTS):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
