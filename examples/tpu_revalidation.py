@@ -71,6 +71,10 @@ def jobs():
          {}, 3000),
         ("cluster_ab", [py, os.path.join(ex, "bench_cluster.py")], {}, 3000),
         ("pallas_canary", [py, "-c", PALLAS_CANARY], {}, 1200),
+        # Conv-form apply A/B (femx.assembly_conv): flagship, cliff grid,
+        # and its 2^k-friendly control. CPU-parity-tested; the chip decides
+        # whether it becomes the default structured apply.
+        ("conv_ab", [py, os.path.join(ex, "bench_conv_apply.py")], {}, 2400),
         # 50M-cliff attribution: the pathological grid, its 2^k-friendly
         # equal-size control, and axis-order variants of the pathological
         # one (the operator is axis-symmetric at uniform spacing, so an

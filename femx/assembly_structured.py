@@ -364,6 +364,16 @@ class StructuredSolidOperator:
         import os
 
         zw = self.z_weight if z_weight is None else z_weight
+        if (os.environ.get("FEMX_STRUCTURED_APPLY") == "conv" and zw is None
+                and self.x_weight is None and self.y_weight is None):
+            # Conv-form stencil (femx.assembly_conv): one 3x3x3 24-channel
+            # correlation instead of the (81, C) slot stack — pending the
+            # on-chip A/B (examples/bench_conv_apply.py). f64 convs don't
+            # lower on TPU, so the refinement residual op keeps slot form.
+            if self.Kcell.dtype != jnp.float64 or jax.default_backend() == "cpu":
+                from femx.assembly_conv import apply_conv
+
+                return apply_conv(self, u)
         if (os.environ.get("FEMX_PALLAS_APPLY") == "1" and zw is None
                 and jax.default_backend() != "cpu"):
             from femx.elements.pallas_structured import (

@@ -1,0 +1,95 @@
+"""Conv-form structured apply (femx.assembly_conv) parity and routing.
+
+The conv stencil is the SAME matrix as the slot-form apply (one 3x3x3
+24-channel correlation + inclusion-exclusion boundary closure), so parity
+holds to summation-reordering roundoff. Grids are chosen to exercise every
+closure term: single-cell (all 26 corrections touch the same nodes), mixed
+odd/even extents, and anisotropic spacing.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from femx.assembly_conv import apply_conv, build_kernels, _kernel_tables
+from femx.assembly_structured import StructuredSolidOperator
+
+GRIDS = [(1, 1, 1), (1, 2, 3), (2, 2, 2), (3, 2, 4), (5, 3, 2)]
+
+
+def _op(n_cells, dtype):
+    return StructuredSolidOperator.from_lattice(
+        n_cells, (0.1, 0.13, 0.08), 2e11, 0.3, dtype=dtype)
+
+
+@pytest.mark.parametrize("n_cells", GRIDS)
+def test_parity_f64(n_cells):
+    op = _op(n_cells, np.float64)
+    u = np.random.default_rng(1).standard_normal(op.ndof)
+    ref = np.asarray(op.apply(jnp.asarray(u)))
+    got = np.asarray(apply_conv(op, jnp.asarray(u)))
+    assert np.max(np.abs(got - ref)) <= 1e-12 * np.max(np.abs(ref))
+
+
+def test_parity_f32():
+    op = _op((4, 3, 5), np.float32)
+    u = np.random.default_rng(2).standard_normal(op.ndof).astype(np.float32)
+    ref = np.asarray(op.apply(jnp.asarray(u)))
+    got = np.asarray(apply_conv(op, jnp.asarray(u)))
+    assert np.max(np.abs(got - ref)) <= 2e-5 * np.max(np.abs(ref))
+
+
+def test_symmetric():
+    op = _op((3, 3, 3), np.float64)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(op.ndof))
+    w = jnp.asarray(rng.standard_normal(op.ndof))
+    a = float(v @ apply_conv(op, w))
+    b = float(w @ apply_conv(op, v))
+    assert abs(a - b) <= 1e-10 * abs(a)
+
+
+def test_env_routing_constrained(monkeypatch):
+    """FEMX_STRUCTURED_APPLY=conv routes apply_constrained identically."""
+    op = _op((2, 3, 2), np.float64)
+    mask = np.ones(op.ndof)
+    mask[: op.ndof // 7] = 0.0
+    op = op.with_free_mask(mask)
+    u = np.random.default_rng(4).standard_normal(op.ndof)
+    ref = np.asarray(op.apply_constrained(jnp.asarray(u)))
+    monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "conv")
+    got = np.asarray(op.apply_constrained(jnp.asarray(u)))
+    assert np.max(np.abs(got - ref)) <= 1e-12 * np.max(np.abs(ref))
+
+
+def test_env_routing_respects_layer_weights(monkeypatch):
+    """Ghost-weighted operators (position-dependent stencil) keep slot form."""
+    import dataclasses
+
+    op = _op((2, 2, 4), np.float64)
+    zw = np.ones(4)
+    zw[-1] = 0.0
+    op_w = dataclasses.replace(op, z_weight=jnp.asarray(zw))
+    object.__setattr__(op_w, "_Kcell_host", op.Kcell_host)
+    u = np.random.default_rng(5).standard_normal(op.ndof)
+    ref = np.asarray(op_w.apply(jnp.asarray(u)))
+    monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "conv")
+    got = np.asarray(op_w.apply(jnp.asarray(u)))
+    assert np.array_equal(got, ref)
+
+
+def test_full_kernel_block_symmetry():
+    """W[cho, chi, e] == W[chi, cho, -e] (the operator matrix is symmetric)."""
+    op = _op((2, 2, 2), np.float64)
+    W = np.asarray(build_kernels(op.Kcell)[("F", "F", "F")])
+    Wt = np.transpose(W[:, :, ::-1, ::-1, ::-1], (1, 0, 2, 3, 4))
+    assert np.allclose(W, Wt, atol=1e-9 * np.max(np.abs(W)))
+
+
+def test_tables_cover_all_kcell_entries():
+    """The full-kernel table maps every (81, 81) entry exactly once."""
+    src = _kernel_tables()[("F", "F", "F")][3]
+    assert len(src) == 81 * 81
+    assert len(set(src.tolist())) == 81 * 81
