@@ -51,12 +51,16 @@ def timed_loop(step, x0, aux, base=5, extra=50):
     def run(x, n, aux):
         return jax.lax.fori_loop(0, n, lambda i, v: step(v, aux), x)
 
-    jax.block_until_ready(run(x0, base, aux))  # compile + warm
+    def synced(n):
+        r = run(x0, n, aux)
+        float(r.ravel()[0])  # block_until_ready does not sync through the relay
+
+    synced(base)  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x0, base, aux))
+    synced(base)
     tb = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x0, base + extra, aux))
+    synced(base + extra)
     te = time.perf_counter() - t0
     return (te - tb) / extra
 

@@ -50,9 +50,10 @@ def run(n_cells, configs, tol=1e-10):
         t0 = time.perf_counter()
         res = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=tol,
                   maxiter=400)
+        rn = float(res.residual_norm)  # readback inside the timed region
         wall = time.perf_counter() - t0
         print(f"  {label:<34} iters={int(res.iterations):3d} "
-              f"conv={bool(res.converged)} rn={float(res.residual_norm):.2e}"
+              f"conv={bool(res.converged)} rn={rn:.2e}"
               f" setup={setup:.1f}s solve={wall:.1f}s", flush=True)
 
 

@@ -40,10 +40,10 @@ def timed_op(name, fn, data, x0, reps=(4, 12)):
     outs = {}
     for n in reps:
         r = loop(data, x0, n)
-        jax.block_until_ready(r)
+        float(r.ravel()[0])  # block_until_ready does not sync through the relay
         t0 = time.perf_counter()
         r = loop(data, x0, n)
-        jax.block_until_ready(r)
+        float(r.ravel()[0])  # scalar readback forces device completion
         outs[n] = time.perf_counter() - t0
     n1, n2 = reps
     per = (outs[n2] - outs[n1]) / (n2 - n1)
