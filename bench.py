@@ -305,6 +305,11 @@ def run_bench():
             "unstructured_solve_s": round(t_unstructured, 3),
             "unstructured_iters": unstructured_iters,
         }),
+        # Variant metadata so A/B sweep records are self-describing
+        # (examples/tpu_revalidation.py runs bench.py under these flags).
+        "structured_apply": os.environ.get("FEMX_STRUCTURED_APPLY", "slot"),
+        "mg_smoother": os.environ.get("FEMX_MG_SMOOTHER", "jacobi"),
+        "unstructured_op": os.environ.get("FEMX_UNSTRUCTURED_OP", "tg"),
     }))
 
 

@@ -20,8 +20,9 @@ Behavior:
 
 Job list mirrors the round-4 re-measurement plan (memory/VERDICT r3 #8):
 bench.py, scaling sweep, unstructured solve, cluster-vs-TG A/B, Chebyshev
-smoother A/B on the flagship, Pallas canary, and the 50M-cliff grid
-profiles (80x80x320 vs 64x64x512 plus axis-order variants).
+smoother A/B on the flagship, Pallas canary, conv-form-apply A/B
+(bench_conv_apply.py + a conv-routed flagship bench), and the 50M-cliff
+grid profiles (80x80x320 vs 64x64x512 plus axis-order variants).
 """
 
 from __future__ import annotations
@@ -75,6 +76,10 @@ def jobs():
         # and its 2^k-friendly control. CPU-parity-tested; the chip decides
         # whether it becomes the default structured apply.
         ("conv_ab", [py, os.path.join(ex, "bench_conv_apply.py")], {}, 2400),
+        ("conv_flagship",
+         [py, os.path.join(REPO, "bench.py")],
+         {"FEMX_STRUCTURED_APPLY": "conv", "FEMX_BENCH_UNSTRUCTURED": "0"},
+         2400),
         # 50M-cliff attribution: the pathological grid, its 2^k-friendly
         # equal-size control, and axis-order variants of the pathological
         # one (the operator is axis-symmetric at uniform spacing, so an

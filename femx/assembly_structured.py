@@ -368,9 +368,16 @@ class StructuredSolidOperator:
                 and self.x_weight is None and self.y_weight is None):
             # Conv-form stencil (femx.assembly_conv): one 3x3x3 24-channel
             # correlation instead of the (81, C) slot stack — pending the
-            # on-chip A/B (examples/bench_conv_apply.py). f64 convs don't
-            # lower on TPU, so the refinement residual op keeps slot form.
-            if self.Kcell.dtype != jnp.float64 or jax.default_backend() == "cpu":
+            # on-chip A/B (examples/bench_conv_apply.py). The 26 boundary
+            # corrections cost ~50 extra tiny kernels per apply, so small
+            # grids (coarse MG levels) keep slot form below the cell gate.
+            # f64 convs don't lower on TPU, so the refinement residual op
+            # keeps slot form there too.
+            nxc, nyc, nzc = self.n_cells
+            gate = int(os.environ.get("FEMX_CONV_MIN_CELLS", "16384"))
+            if nxc * nyc * nzc >= gate and (
+                    self.Kcell.dtype != jnp.float64
+                    or jax.default_backend() == "cpu"):
                 from femx.assembly_conv import apply_conv
 
                 return apply_conv(self, u)

@@ -60,6 +60,7 @@ def test_env_routing_constrained(monkeypatch):
     u = np.random.default_rng(4).standard_normal(op.ndof)
     ref = np.asarray(op.apply_constrained(jnp.asarray(u)))
     monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "conv")
+    monkeypatch.setenv("FEMX_CONV_MIN_CELLS", "0")
     got = np.asarray(op.apply_constrained(jnp.asarray(u)))
     assert np.max(np.abs(got - ref)) <= 1e-12 * np.max(np.abs(ref))
 
@@ -76,6 +77,7 @@ def test_env_routing_respects_layer_weights(monkeypatch):
     u = np.random.default_rng(5).standard_normal(op.ndof)
     ref = np.asarray(op_w.apply(jnp.asarray(u)))
     monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "conv")
+    monkeypatch.setenv("FEMX_CONV_MIN_CELLS", "0")
     got = np.asarray(op_w.apply(jnp.asarray(u)))
     assert np.array_equal(got, ref)
 
@@ -86,6 +88,48 @@ def test_full_kernel_block_symmetry():
     W = np.asarray(build_kernels(op.Kcell)[("F", "F", "F")])
     Wt = np.transpose(W[:, :, ::-1, ::-1, ::-1], (1, 0, 2, 3, 4))
     assert np.allclose(W, Wt, atol=1e-9 * np.max(np.abs(W)))
+
+
+def test_mg_pcg_solve_with_conv_routing(monkeypatch):
+    """Full MG-PCG solve with FEMX_STRUCTURED_APPLY=conv matches default:
+    same solution and same iteration count (the smoothers and the CG body
+    all route through op.apply, so this covers the whole solve surface)."""
+    from femx.mesh import box_tet10
+    from femx.solve.cg import pcg
+    from femx.solve.multigrid import StructuredMultigrid
+
+    dims = (0.4, 0.4, 1.2)
+    mesh = box_tet10(*dims, mesh_size=0.1)
+    mask = np.ones(3 * mesh.num_nodes)
+    fixed = np.where(mesh.points[:, 2] < 1e-9)[0]
+    mask[(3 * fixed[:, None] + np.arange(3)).ravel()] = 0
+    f = np.zeros(3 * mesh.num_nodes)
+    tip = np.where(mesh.points[:, 2] > dims[2] - 1e-9)[0]
+    f[3 * tip + 1] = -1000.0 / len(tip)
+
+    def solve():
+        mg = StructuredMultigrid(dims, mesh.structured.n_cells, 2e11, 0.3,
+                                 mask, dtype=np.float64, coarse_dof_limit=3000)
+        op = mg.fine_op
+        fj = jnp.asarray(op.to_internal(f * mask))
+        res = pcg(op.apply_constrained, fj, M_inv_diag=mg, tol=1e-8,
+                  maxiter=200)
+        return op.to_global(np.asarray(res.x)), int(res.iterations), \
+            bool(res.converged)
+
+    monkeypatch.delenv("FEMX_STRUCTURED_APPLY", raising=False)
+    x_ref, it_ref, ok_ref = solve()
+    monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "conv")
+    monkeypatch.setenv("FEMX_CONV_MIN_CELLS", "0")
+    # The flag is read at TRACE time: a same-shape second solve would hit
+    # the jit cache and silently reuse the slot-form program.
+    import jax
+
+    jax.clear_caches()
+    x_conv, it_conv, ok_conv = solve()
+    assert ok_ref and ok_conv
+    assert it_conv == it_ref
+    np.testing.assert_allclose(x_conv, x_ref, atol=np.abs(x_ref).max() * 1e-9)
 
 
 def test_tables_cover_all_kcell_entries():
