@@ -49,7 +49,8 @@ from femx.assembly_structured import StructuredSolidOperator
 # rebuild). Measured at the 1.39M-DOF flagship: 6.4 s cold -> ~1.5 s warm
 # setup. Disable with FEMX_MG_CACHE=0.
 
-_MG_CACHE_VERSION = 3  # v3: ghost padding only as escape hatch (stuck odd grids)
+_MG_CACHE_VERSION = 4  # v4: semi_stop_dof — dense bottom instead of
+# semi-coarsened (anisotropic) levels once ndof <= semi_stop_dof
 
 
 def _mg_cache_dir() -> str | None:
@@ -297,11 +298,13 @@ class StructuredMultigrid:
         dtype=np.float32,
         n_smooth: int = 2,
         omega: float = 0.7,
-        # Keep the coarsest dense factor small: it is closed over by the
-        # jitted V-cycle and embedded in the compiled program (an 8k-DOF
-        # factor is a 250 MB constant — measured to overflow the remote
-        # compiler's request limit), and its host inverse is the single
-        # most expensive setup step. Measured on the 24x24x96 flagship:
+        # Keep the coarsest dense factor reasonably small: it is a pytree
+        # LEAF (shipped as a runtime argument, NOT a compile constant —
+        # closing over it was measured to overflow the remote compiler's
+        # request limit at ~250 MB, hence the pytree registration), but it
+        # still costs a host->device transfer, disk-cache space, and its
+        # host inverse is the single most expensive setup step. Measured
+        # on the 24x24x96 flagship:
         # limit 4000 -> 3675-DOF coarse, 13 CG iters, ~4 s torch inverse;
         # limit 2000 -> 1911-DOF coarse (one semi level), 14 iters, 0.7 s
         # numpy inverse; limit 1200 -> 1029-DOF coarse, 21 iters. 2000 is
@@ -326,6 +329,17 @@ class StructuredMultigrid:
         smoother: str = "jacobi",
         cheb_lower: float = 1.0 / 30.0,
         cheb_upper: float = 1.1,
+        # Stop with a dense coarsest solve INSTEAD of semi-coarsening once
+        # the level fits: every semi step doubles one axis's spacing, and
+        # smoothing anisotropic coarse operators with block-Jacobi costs
+        # iterations. Measured on (20,20,80), f32 to 1e-5: two z-semi
+        # levels -> 19 iters; dense bottom at (5,5,10) (7623 DOF, one semi
+        # step short) -> 13; dense at (5,5,20) (14883 DOF) -> 12 — vs 14
+        # on the 2^k control (16,16,64). 8000 caps the inverse at ~230 MB
+        # f32 (a pytree leaf, shipped as a runtime arg — not a compile
+        # constant). 0 disables (pre-v4 behavior). Full 3-axis coarsening
+        # is always preferred over stopping (exact, cheap, isotropic).
+        semi_stop_dof: int = 8000,
     ):
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"smoother must be 'jacobi' or 'chebyshev', "
@@ -390,6 +404,13 @@ class StructuredMultigrid:
                 break
             even_axes = tuple(i for i in range(3)
                               if n[i] % 2 == 0 and n[i] > 2)
+            if (semi_stop_dof and len(even_axes) < 3
+                    and ndof <= min(semi_stop_dof, coarse_dense_limit)):
+                # Only PARTIAL (semi) coarsening is possible and the level
+                # already fits a dense inverse: stop here. Semi steps make
+                # the coarse operators anisotropic, which block-Jacobi
+                # smooths poorly (see semi_stop_dof in __init__).
+                break
             if even_axes:
                 axes = even_axes  # exact (unpadded) coarsening — preferred:
                 # measured BETTER than padding odd axes early (padded coarse
@@ -451,6 +472,10 @@ class StructuredMultigrid:
 
         extra = ("" if smoother == "jacobi"
                  else f"cheb:{self.cheb_lower}:{self.cheb_upper}")
+        # semi_stop_dof changes the level chain, so non-default values must
+        # key separately (the v4 default is covered by _MG_CACHE_VERSION)
+        if semi_stop_dof != 8000:
+            extra += f"|ss:{semi_stop_dof}"
         ck = _mg_cache_key(specs[0][0], specs[0][1], E, nu, weight, dtype,
                            n_smooth, omega, coarse_dof_limit, specs[0][2],
                            extra=extra)

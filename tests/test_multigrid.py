@@ -153,7 +153,10 @@ def test_mg_anisotropic_semicoarsening_converges():
     mg = StructuredMultigrid(None, mesh.structured.n_cells, 2e11, 0.3, mask,
                              spacing=mesh.structured.spacing,
                              dtype=np.float64, fine_op=st)
-    assert len(mg.levels) == 3
+    # v4 semi_stop_dof: after one (x, z) semi step the (10, 3, 6) level
+    # (5733 DOF) fits the dense bottom, so the chain stops there instead
+    # of semi-coarsening further.
+    assert len(mg.levels) == 2
     assert any(g != (1, 2, 3) for g in mg._coarsen_axes)
     res = pcg(st.apply_constrained, fj, M_inv_diag=mg, tol=1e-10, maxiter=200)
     assert bool(res.converged)
@@ -315,8 +318,11 @@ def test_mg_even_grids_never_pad():
     assert mesh.structured.n_cells == (10, 10, 40)
     mg = StructuredMultigrid(dims, (10, 10, 40), 2e11, 0.3, mask,
                              dtype=np.float64)
+    # v4 semi_stop_dof: the chain stops with a dense bottom at (5, 5, 10)
+    # (7623 DOF) instead of z-semi-coarsening to the anisotropic (5, 5, 5)
+    # (measured on (20,20,80): 19 -> 13 iterations).
     assert [l.op.n_cells for l in mg.levels] == [
-        (10, 10, 40), (5, 5, 20), (5, 5, 10), (5, 5, 5)]
+        (10, 10, 40), (5, 5, 20), (5, 5, 10)]
     assert all(p == (0, 0, 0) for p in mg._pad_nodes)
     for lvl in mg.levels:
         assert lvl.op.x_weight is None and lvl.op.y_weight is None \
