@@ -80,6 +80,14 @@ def jobs():
          [py, os.path.join(REPO, "bench.py")],
          {"FEMX_STRUCTURED_APPLY": "conv", "FEMX_BENCH_UNSTRUCTURED": "0"},
          2400),
+        # Stretch: does the conv apply's smaller working set (no (81,C)
+        # slot stack) raise the single-chip ceiling past ~50M DOF? An OOM
+        # here is recorded and the sweep moves on.
+        ("scaling_xl",
+         [py, os.path.join(ex, "bench_scaling.py")],
+         {"FEMX_STRUCTURED_APPLY": "conv",
+          "FEMX_SCALING_GRIDS": "80,80,320;96,96,384"},
+         4800),
         # 50M-cliff attribution: the pathological grid, its 2^k-friendly
         # equal-size control, and axis-order variants of the pathological
         # one (the operator is axis-symmetric at uniform spacing, so an
