@@ -215,6 +215,7 @@ class SolidReactionAnalysis:
         checkpoint: Optional[str] = None,
         checkpoint_chunk: int = 500,
         unstructured_operator: Optional[str] = None,
+        structured_apply: Optional[str] = None,
     ):
         self.msh_file = msh_file
         self.force_data = list(force_data)
@@ -248,6 +249,20 @@ class SolidReactionAnalysis:
             raise ValueError(
                 f"unstructured_operator must be 'tg' or 'cluster', got {uop!r}")
         self.unstructured_operator = uop
+        # Structured apply form: "slot" (gather-free slot stack, default)
+        # or "conv" (femx.assembly_conv one-correlation stencil; pending the
+        # on-chip A/B). The routing flag is read at TRACE time deep inside
+        # the operator, so the per-analysis arg sets the process-wide env
+        # (same contract as FEMX_STRUCTURED_APPLY itself — one form per
+        # process; mixing forms in one process needs jax.clear_caches()).
+        sap = structured_apply or os.environ.get("FEMX_STRUCTURED_APPLY",
+                                                 "slot")
+        if sap not in ("slot", "conv"):
+            raise ValueError(
+                f"structured_apply must be 'slot' or 'conv', got {sap!r}")
+        self.structured_apply = sap
+        if structured_apply is not None:
+            os.environ["FEMX_STRUCTURED_APPLY"] = sap
 
         self.pd = 3
         self.u: Optional[np.ndarray] = None
@@ -515,6 +530,9 @@ class SolidReactionAnalysis:
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),
+                # conv routing also reaches the unstructured path (the
+                # lattice preconditioner's internal applies are structured)
+                "structured_apply": self.structured_apply,
                 **({} if resumed is None else {
                     "checkpoint": self.checkpoint,
                     "resumed_iterations": resumed}),
@@ -620,6 +638,9 @@ class SolidReactionAnalysis:
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),
+                # conv routing also reaches the unstructured path (the
+                # lattice preconditioner's internal applies are structured)
+                "structured_apply": self.structured_apply,
                 **({} if resumed is None else {
                     "checkpoint": self.checkpoint,
                     "resumed_iterations": resumed}),

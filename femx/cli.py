@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="operator family for large unstructured meshes: "
                          "transpose-gather (default) or Morton-clustered "
                          "dense blocks (fewer gather rows, heavier build)")
+    so.add_argument("--structured-apply", choices=["slot", "conv"],
+                    default=None,
+                    help="structured-lattice apply form: gather-free slot "
+                         "stack (default) or the conv-form stencil "
+                         "(femx.assembly_conv, one 3x3x3 24-channel "
+                         "correlation at the traffic floor)")
     so.add_argument("--checkpoint-chunk", type=int, default=500,
                     help="iterations per checkpoint segment (default 500)")
     so.add_argument("--modal", type=int, default=0, metavar="N",
@@ -208,7 +214,8 @@ def main(argv=None) -> int:
                                    devices=args.devices,
                                    checkpoint=args.checkpoint,
                                    checkpoint_chunk=args.checkpoint_chunk,
-                                   unstructured_operator=args.unstructured_op)
+                                   unstructured_operator=args.unstructured_op,
+                                   structured_apply=args.structured_apply)
         fa.run_simulation(report=False)
         if args.stress:
             import numpy as np

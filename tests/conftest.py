@@ -43,6 +43,9 @@ _SLOW_TESTS = (
     "test_assembly_tg.py::test_pipeline_routes_large_unstructured_through_tg",
     "test_beam_analysis.py::test_cantilever_mesh_invariance",
     "test_conv_apply.py::test_mg_pcg_solve_with_conv_routing",
+    "test_conv_apply.py::test_parity_f64",  # each param pays a conv-graph compile
+    "test_conv_apply.py::test_pipeline_structured_apply_arg",
+    "test_conv_apply.py::test_symmetric",
     "test_distributed_pipeline.py::test_driver_padding_is_exact",
     "test_distributed_pipeline.py::test_pipeline_devices_matches_single_device",
     "test_distributed_pipeline.py::test_pipeline_devices_unstructured_distributed",

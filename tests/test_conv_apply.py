@@ -136,6 +136,47 @@ def test_mg_pcg_solve_with_conv_routing(monkeypatch):
     np.testing.assert_allclose(x_conv, x_ref, atol=np.abs(x_ref).max() * 1e-9)
 
 
+def test_pipeline_structured_apply_arg(monkeypatch):
+    """SolidReactionAnalysis(structured_apply='conv') routes the MG solve
+    through the conv form and matches the default pipeline answer."""
+    import jax
+
+    from femx.analysis.solid import SolidReactionAnalysis
+    from femx.mesh import box_tet10
+
+    mesh = box_tet10(0.4, 0.4, 1.2, 0.1,
+                     force_points=[(0.2, 0.4, 0.6)],
+                     fix_points=[(0, 0, 0), (0.4, 0, 0),
+                                 (0, 0, 1.2), (0.4, 0, 1.2)])
+    forces = [{"force_x": 0, "force_y": 500.0, "force_z": 0,
+               "force_x_pstn": 0.2, "force_y_pstn": 0.4, "force_z_pstn": 0.6}]
+    fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for x, z in [(0, 0), (0.4, 0), (0, 1.2), (0.4, 1.2)]]
+
+    def run(**kw):
+        fa = SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                                   solver="mg", verbose=False, **kw)
+        fa.run_simulation(report=False)
+        return fa
+
+    # setenv first so monkeypatch teardown restores the pre-test value even
+    # though the conv-run constructor overwrites it process-wide.
+    monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "slot")
+    ref = run()
+    assert ref.solve_info["structured_apply"] == "slot"
+    monkeypatch.setenv("FEMX_CONV_MIN_CELLS", "0")
+    jax.clear_caches()  # the routing flag is read at trace time
+    got = run(structured_apply="conv")
+    jax.clear_caches()
+    assert got.solve_info["structured_apply"] == "conv"
+    np.testing.assert_allclose(got.u, ref.u,
+                               atol=np.abs(ref.u).max() * 1e-8)
+    with pytest.raises(ValueError):
+        SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                              structured_apply="bogus")
+
+
 def test_tables_cover_all_kcell_entries():
     """The full-kernel table maps every (81, 81) entry exactly once."""
     src = _kernel_tables()[("F", "F", "F")][3]
