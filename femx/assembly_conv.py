@@ -35,15 +35,14 @@ of the same K for the matrix-free MG-PCG replacement. Opt-in via
 FEMX_STRUCTURED_APPLY=conv pending an on-chip A/B vs the slot form
 (examples/tpu_revalidation.py job "conv_ab").
 
-Extension path (not yet built — needed before the DISTRIBUTED paths can
-route conv): the ghost-padded operators carry per-layer cell weights,
-which a position-invariant conv cannot express. For the 0/1-suffix
-weights the driver/halo actually use (whole padded layers at the z end),
-the weighted apply equals the UNWEIGHTED conv on the truncated real
-lattice, zero-embedded back into the padded layout — no new kernel
-machinery, but the real-layer count must travel as STATIC pytree aux
-(the weight leaf's values are invisible at trace time). Fractional
-straddle weights (ghost-padded MG coarse levels) stay slot-form.
+Why the DISTRIBUTED paths stay slot-form: the ghost-padded operators
+carry per-layer cell weights, which a position-invariant conv cannot
+express. A truncate-to-real-lattice rewrite works for the single-device
+driver op (0/1-suffix weights, static real extent), but NOT under
+shard_map — every device runs the same traced program with different
+weight values, so the truncation extent cannot be static and per-layer
+corrections are value-dependent. The slot form's elementwise fe scaling
+handles this for free; distributed slabs keep it.
 """
 from __future__ import annotations
 
