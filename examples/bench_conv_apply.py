@@ -58,6 +58,13 @@ def bench_apply(call, op, x, iters=20):
 
 
 def main():
+    import os
+
+    # The slot arm times env-routed op.apply: a preset FEMX_STRUCTURED_APPLY
+    # (e.g. exported by a prior conv_flagship job shell) would silently turn
+    # this into conv-vs-conv. Pin the env so the A/B is honest.
+    os.environ.pop("FEMX_STRUCTURED_APPLY", None)
+
     import jax
     import jax.numpy as jnp
     from femx.assembly_conv import apply_conv

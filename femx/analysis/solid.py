@@ -262,7 +262,15 @@ class SolidReactionAnalysis:
                 f"structured_apply must be 'slot' or 'conv', got {sap!r}")
         self.structured_apply = sap
         if structured_apply is not None:
+            prev = os.environ.get("FEMX_STRUCTURED_APPLY", "slot")
             os.environ["FEMX_STRUCTURED_APPLY"] = sap
+            if prev != sap:
+                # The flag is read at TRACE time: a same-shape program
+                # compiled under the previous form would be silently reused
+                # from the jit cache otherwise.
+                import jax
+
+                jax.clear_caches()
 
         self.pd = 3
         self.u: Optional[np.ndarray] = None
@@ -436,6 +444,8 @@ class SolidReactionAnalysis:
                 self.stage_times["solve"] = time.perf_counter() - t0
                 return
         if self._structured:
+            from femx.assembly_structured import conv_routing_active
+
             dtype = self.operator.Kcell.dtype
             # structured operator runs in its internal phase-major layout
             mask_g = self.constraints.free_mask()
@@ -530,9 +540,10 @@ class SolidReactionAnalysis:
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),
-                # conv routing also reaches the unstructured path (the
-                # lattice preconditioner's internal applies are structured)
-                "structured_apply": self.structured_apply,
+                # EFFECTIVE apply form (the request can be gated off by
+                # size/dtype/weights — report what actually ran)
+                "structured_apply": "conv" if conv_routing_active(op)
+                else "slot",
                 **({} if resumed is None else {
                     "checkpoint": self.checkpoint,
                     "resumed_iterations": resumed}),
@@ -638,8 +649,9 @@ class SolidReactionAnalysis:
                 "iterations": int(res.iterations),
                 "residual": float(res.residual_norm),
                 "converged": bool(res.converged),
-                # conv routing also reaches the unstructured path (the
-                # lattice preconditioner's internal applies are structured)
+                # REQUESTED form: on this (unstructured) path the flag only
+                # reaches the lattice preconditioner's internal structured
+                # applies, each with its own size gate
                 "structured_apply": self.structured_apply,
                 **({} if resumed is None else {
                     "checkpoint": self.checkpoint,

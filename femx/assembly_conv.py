@@ -27,7 +27,10 @@ enumerated by the same (so, si) -> (channel, tap) mapping.
 The kernels are built IN-JIT from the Kcell pytree leaf (constant numpy
 index tables + one flat gather + segment-sum), so jitted solves can keep
 taking the operator as an argument (closed-over device arrays become
-compiled-program constants — see assembly_structured docstring).
+compiled-program constants — see assembly_structured docstring). The
+build is loop-invariant and XLA hoists it: a compiled fori_loop of
+applies has ZERO scatter/segment ops inside the while body (verified on
+the optimized HLO; all 53 build ops sit in the entry computation).
 
 Reference context: the reference assembles a scipy CSR matrix and calls
 spsolve (ReactionSolver.py:196-205); this is the traffic-optimal TPU form
@@ -35,14 +38,17 @@ of the same K for the matrix-free MG-PCG replacement. Opt-in via
 FEMX_STRUCTURED_APPLY=conv pending an on-chip A/B vs the slot form
 (examples/tpu_revalidation.py job "conv_ab").
 
-Why the DISTRIBUTED paths stay slot-form: the ghost-padded operators
-carry per-layer cell weights, which a position-invariant conv cannot
-express. A truncate-to-real-lattice rewrite works for the single-device
-driver op (0/1-suffix weights, static real extent), but NOT under
-shard_map — every device runs the same traced program with different
-weight values, so the truncation extent cannot be static and per-layer
-corrections are value-dependent. The slot form's elementwise fe scaling
-handles this for free; distributed slabs keep it.
+Distributed paths: UNWEIGHTED slab-local applies (the halo path when no
+ghost padding is active) route conv like any other apply — the conv form
+is the same matrix on the slab-local lattice and pure local lax ops, so
+it is shard_map-safe (equality test:
+test_distributed_pipeline.py::test_pipeline_devices_conv_apply_matches).
+WEIGHTED applies (ghost-padded layers) stay slot-form: per-layer cell
+weights make the stencil position-dependent, and under shard_map the
+weight values differ per device while the traced program must be
+uniform, so neither a truncated-lattice rewrite nor value-dependent
+layer corrections can work. The slot form's elementwise fe scaling
+handles this for free.
 """
 from __future__ import annotations
 

@@ -616,6 +616,27 @@ class StructuredSolidOperator:
         return lambda r: self.apply_block_jacobi(binv_phases, r)
 
 
+def conv_routing_active(op: StructuredSolidOperator) -> bool:
+    """Whether apply() would route `op` through the conv-form stencil.
+
+    Mirrors the gate in apply() so callers (solve_info reporting) can
+    record the EFFECTIVE apply form instead of the requested one: the env
+    flag, no layer weights, the FEMX_CONV_MIN_CELLS size gate, and the
+    f64-on-TPU fallback."""
+    import os
+
+    if os.environ.get("FEMX_STRUCTURED_APPLY") != "conv":
+        return False
+    if (op.z_weight is not None or op.x_weight is not None
+            or op.y_weight is not None):
+        return False
+    nxc, nyc, nzc = op.n_cells
+    if nxc * nyc * nzc < int(os.environ.get("FEMX_CONV_MIN_CELLS", "16384")):
+        return False
+    return (op.Kcell.dtype != jnp.float64
+            or jax.default_backend() == "cpu")
+
+
 def _structured_op_flatten(op: StructuredSolidOperator):
     children = (op.Kcell, op.free_mask, op.z_weight, op.x_weight, op.y_weight)
     aux = (op.n_cells, op.grid_shape, op.weight, op.spacing)

@@ -47,6 +47,7 @@ _SLOW_TESTS = (
     "test_conv_apply.py::test_pipeline_structured_apply_arg",
     "test_conv_apply.py::test_symmetric",
     "test_distributed_pipeline.py::test_driver_padding_is_exact",
+    "test_distributed_pipeline.py::test_pipeline_devices_conv_apply_matches",
     "test_distributed_pipeline.py::test_pipeline_devices_matches_single_device",
     "test_distributed_pipeline.py::test_pipeline_devices_unstructured_distributed",
     "test_distributed_pipeline.py::test_pipeline_devices_unstructured_f32_refined",

@@ -132,7 +132,10 @@ def test_mg_pcg_solve_with_conv_routing(monkeypatch):
     jax.clear_caches()
     x_conv, it_conv, ok_conv = solve()
     assert ok_ref and ok_conv
-    assert it_conv == it_ref
+    # The two forms agree to summation-reordering roundoff, so a residual
+    # landing within roundoff of tol can legitimately shift convergence by
+    # one iteration — equality would be a latent flake.
+    assert abs(it_conv - it_ref) <= 1, (it_conv, it_ref)
     np.testing.assert_allclose(x_conv, x_ref, atol=np.abs(x_ref).max() * 1e-9)
 
 

@@ -191,3 +191,20 @@ def test_pipeline_devices_unstructured_f32_refined():
     # residual <= 1e-8 bounds the energy-norm error; small components can
     # carry ~1e-6 relative noise from the f32 inner solves
     np.testing.assert_allclose(dist.u, ref.u, atol=scale * 1e-5)
+
+
+def test_pipeline_devices_conv_apply_matches(monkeypatch):
+    """devices=8 with the conv-form apply: the halo slab applies route
+    through femx.assembly_conv (same matrix on the slab-local lattice, pure
+    local lax ops — shard_map-safe) and match the default distributed run."""
+    ref = _cantilever_analysis((4, 4, 16), devices=8).run_simulation()
+    monkeypatch.setenv("FEMX_STRUCTURED_APPLY", "conv")
+    monkeypatch.setenv("FEMX_CONV_MIN_CELLS", "0")
+    jax.clear_caches()  # trace-time routing flag
+    conv = _cantilever_analysis((4, 4, 16), devices=8).run_simulation()
+    jax.clear_caches()
+    assert "distributed_halo_mg_pcg" in conv.solve_info["method"]
+    assert conv.solve_info["converged"]
+    scale = np.abs(ref.u).max()
+    np.testing.assert_allclose(conv.u, ref.u, atol=scale * 1e-9)
+    assert np.abs(conv.equilibrium_residual()).max() < 1e-6
