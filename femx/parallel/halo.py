@@ -298,16 +298,26 @@ def pcg_halo(
         def make_minv(binv_loc):
             return halo.minv_local(binv_loc)
 
-        extra = (binv_st,)
+        extra, extra_repl = (binv_st,), ()
     elif callable(preconditioner):
-        make_minv, extra = preconditioner(halo)
+        out = preconditioner(halo)
+        # factories return (make_minv, stacked_extras) or, when they also
+        # need REPLICATED runtime args (e.g. DistributedMultigrid threads
+        # the whole StructuredMultigrid pytree through here so its dense
+        # coarse inverse — up to ~230 MB under semi_stop_dof — rides as a
+        # jit argument instead of a compiled-program constant, which the
+        # remote TPU compiler rejects past ~100 MB),
+        # (make_minv, stacked_extras, replicated_extras).
+        make_minv, extra = out[0], out[1]
+        extra_repl = out[2] if len(out) > 2 else ()
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
+    n_stacked = len(extra)
 
     def kernel(f_b, w_b, m_b, zw_b, x0_b, *extra_b):
         f_loc, w, mask, zw_loc, x = f_b[0], w_b[0], m_b[0], zw_b[0], x0_b[0]
-        extra_loc = jax.tree.map(lambda a: a[0], extra_b)
-        minv = make_minv(*extra_loc)
+        extra_loc = jax.tree.map(lambda a: a[0], extra_b[:n_stacked])
+        minv = make_minv(*extra_loc, *extra_b[n_stacked:])
 
         def A(v):
             return halo.apply_constrained_local(v, mask, zw_loc)
@@ -357,16 +367,22 @@ def pcg_halo(
         cache = {}
         object.__setattr__(halo, "_pcg_fn_cache", cache)
     key = (id(preconditioner), float(tol), int(maxiter))
-    fn_jit = cache.get(key)
-    if fn_jit is None:
+    hit = cache.get(key)
+    if hit is None:
         spec = P(axis)
         in_specs = (spec, spec, spec, spec, spec) + tuple(
             jax.tree.map(lambda _: spec, e) for e in extra
-        )
+        ) + tuple(jax.tree.map(lambda _: P(), e) for e in extra_repl)
         fn_jit = jax.jit(jax.shard_map(kernel, mesh=mesh, in_specs=in_specs,
                                        out_specs=(spec, P(), P())))
-        cache[key] = fn_jit
-    x_st, k, res = fn_jit(f_st, w_st, m_st, zw_st, x0_st, *extra)
+        # pin the preconditioner object alongside the compiled fn: the key
+        # uses id(), which CPython reuses after garbage collection — a
+        # stale hit would run a kernel compiled against another factory's
+        # make_minv
+        cache[key] = (fn_jit, preconditioner)
+    else:
+        fn_jit = hit[0]
+    x_st, k, res = fn_jit(f_st, w_st, m_st, zw_st, x0_st, *extra, *extra_repl)
     x_full = halo.gather(np.asarray(x_st))
     return x_full, int(k), float(res), bool(res <= tol)
 
@@ -388,6 +404,18 @@ class DistributedMultigrid:
     """
 
     def __init__(self, mg: StructuredMultigrid, mesh: Mesh, axis: str = "z"):
+        if getattr(mg, "smoother", "jacobi") != "jacobi" or \
+                getattr(mg, "sweeps", None) is not None:
+            # the slab-local smoother below is damped block-Jacobi with
+            # mg.n_smooth sweeps; silently smoothing the distributed levels
+            # differently from the replicated handoff levels would degrade
+            # convergence with no error
+            raise ValueError(
+                "DistributedMultigrid implements damped block-Jacobi "
+                "smoothing only (got smoother="
+                f"{getattr(mg, 'smoother', 'jacobi')!r}, sweeps="
+                f"{getattr(mg, 'sweeps', None)!r}); build the wrapped "
+                "StructuredMultigrid with the defaults")
         self.mg = mg
         self.mesh = mesh
         self.axis = axis
@@ -454,9 +482,15 @@ class DistributedMultigrid:
         return jnp.concatenate(parts)
 
     def _vcycle_local(self, k: int, b_loc: jnp.ndarray, ctx) -> jnp.ndarray:
-        masks, minvs, zws = ctx
+        # ctx carries the TRACED StructuredMultigrid (a jit argument of
+        # pcg_halo): the handoff branch's replicated levels and the dense
+        # coarse inverse must not be closed over — closure arrays become
+        # compiled-program constants, and the coarse inverse can reach
+        # ~230 MB under semi_stop_dof (the remote TPU compiler rejects
+        # requests past ~100 MB). Static structure (omegas, level count)
+        # is pytree aux and identical on the traced copy.
+        masks, minvs, zws, mg = ctx
         halo = self.halos[k]
-        mg = self.mg
         om = mg.omegas[k]
         mask = masks[k]
         minv = minvs[k]
@@ -531,15 +565,18 @@ class DistributedMultigrid:
         ]
 
         def factory(_halo):
-            def make_minv(masks_loc, binv_loc, zw_loc):
+            def make_minv(masks_loc, binv_loc, zw_loc, mg_traced):
                 minvs = [h.minv_local(bl) for h, bl in zip(self.halos, binv_loc)]
-                ctx = (masks_loc, minvs, zw_loc)
+                ctx = (masks_loc, minvs, zw_loc, mg_traced)
 
                 def apply_minv(r_loc):
                     return self._vcycle_local(0, r_loc, ctx)
 
                 return apply_minv
 
-            return make_minv, (masks_st, binv_st, zw_st)
+            # the mg pytree rides as a REPLICATED runtime arg (third slot):
+            # its leaves include the dense coarse inverse, which must not
+            # become a compiled-program constant (see _vcycle_local)
+            return make_minv, (masks_st, binv_st, zw_st), (self.mg,)
 
         return factory

@@ -56,8 +56,17 @@ def modal_shift_invert_halo(
         x, _it, res, ok = pcg_halo(
             dmg.halo, np.asarray(b), tol=inner_tol,
             maxiter=inner_maxiter, preconditioner=prec)
-        if not ok and not np.isfinite(res):
-            raise RuntimeError(f"distributed inner solve diverged: {res}")
+        if not ok:
+            # A finite-but-large residual is just as poisonous to the
+            # Lanczos recurrence as a NaN: an inner solve that stalled at
+            # maxiter (or tripped the rz>0 guard) is NOT K^-1 b, and
+            # accepting it yields wrong frequencies with no warning.
+            # ~10x tol of slack tolerates harmless last-iteration jitter.
+            if not np.isfinite(res) or res > 10 * inner_tol:
+                raise RuntimeError(
+                    f"distributed inner solve did not converge "
+                    f"(residual {res:.3e}, tol {inner_tol:.1e}); raise "
+                    f"inner_maxiter or loosen inner_tol")
         return jnp.asarray(x)
 
     return modal_shift_invert(

@@ -38,6 +38,10 @@ def device_mesh(n_devices: Optional[int] = None, axis: str = "elem") -> Mesh:
     """1D device mesh over the first n_devices (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} device(s) are available")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -45,6 +45,16 @@ class ShardedStructuredOperator:
         ndev = self.mesh.shape[self.axis]
         if nz % ndev:
             raise ValueError(f"nz={nz} cells must divide the '{self.axis}' axis size {ndev}")
+        if (self.op.z_weight is not None or self.op.x_weight is not None
+                or self.op.y_weight is not None):
+            # apply_phases (the slab kernel below) never applies per-layer
+            # cell weights — carrying a ghost-padded operator through here
+            # would silently compute the UNWEIGHTED stiffness. The weighted
+            # (ghost-padded) distributed path is femx.parallel.driver/halo.
+            raise ValueError(
+                "ShardedStructuredOperator does not support per-layer cell "
+                "weights (x/y/z_weight); use femx.parallel.driver for "
+                "ghost-padded distributed solves")
         self.nzl = nz // ndev
         # local slab operator: identical cell matrix, nzl cells along z
         self.local = dataclasses.replace(
@@ -56,6 +66,7 @@ class ShardedStructuredOperator:
                 2 * self.nzl + 1,
             ),
             free_mask=None,
+            z_weight=None,
         )
 
     # -- helpers -------------------------------------------------------------

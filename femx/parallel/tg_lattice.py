@@ -122,6 +122,9 @@ class DistributedUnstructuredSolver:
     latt_mask_st: jnp.ndarray  # (ndev, ndof_latt_local)
     mesh_mask_st: jnp.ndarray  # (ndev, Nl, 3) free mask owned nodes
     dmg_extra: tuple  # stacked ctx for dmg's make_minv
+    # replicated ctx (the mg pytree: its dense coarse inverse must ride as
+    # a runtime arg, not a compiled-program constant — see pcg_halo)
+    dmg_repl: tuple
     _make_minv: object
 
     @classmethod
@@ -176,7 +179,10 @@ class DistributedUnstructuredSolver:
         owner = np.clip(i0[:, 2] // (2 * nzl), 0, ndev - 1)
         zperm = np.argsort(pts[:, 2], kind="stable")
         owner_rank = owner[zperm]
-        assert (np.diff(owner_rank) >= 0).all()  # monotone in z-rank
+        if not (np.diff(owner_rank) >= 0).all():  # monotone in z-rank
+            raise ValueError(
+                "slab ownership is not monotone in z-sorted node order — "
+                "the mesh/lattice alignment assumption is violated")
         bounds = np.searchsorted(owner_rank, np.arange(ndev + 1))
 
         top = ShardedTGOperator.from_mesh(
@@ -193,8 +199,11 @@ class DistributedUnstructuredSolver:
             ids = zperm[bounds[d]:bounds[d + 1]]  # slot order
             i0_d = i0[ids].copy()
             i0_d[:, 2] -= 2 * d * nzl
-            assert len(ids) == 0 or (
-                (i0_d[:, 2] >= 0).all() and (i0_d[:, 2] < 2 * nzl).all())
+            if len(ids) and not ((i0_d[:, 2] >= 0).all()
+                                 and (i0_d[:, 2] < 2 * nzl).all()):
+                raise ValueError(
+                    f"device {d}: owned nodes fall outside the local slab "
+                    f"cell range [0, {2 * nzl}) after offsetting")
             phase, flat, w = _corner_tables(i0_d, fr[ids], gs_loc)
             per_dev.append((phase, flat, w, len(ids)))
         # D: max incidences per lattice node across devices/phases
@@ -245,7 +254,7 @@ class DistributedUnstructuredSolver:
                 rest_idx[p][d, dsts_s, pos] = slots[order]
                 rest_w[p][d, dsts_s, pos] = ws[order]
 
-        make_minv, dmg_extra = dmg.preconditioner()(None)
+        make_minv, dmg_extra, dmg_repl = dmg.preconditioner()(None)
         return cls(
             top=top, dmg=dmg, mesh=mesh, axis=axis, ndev=ndev,
             coarse_weight=float(coarse_weight), n_cycles=int(n_cycles),
@@ -259,6 +268,7 @@ class DistributedUnstructuredSolver:
                 dmg.halo.mask_stacked().astype(dt)),
             mesh_mask_st=top.mask_st,
             dmg_extra=dmg_extra,
+            dmg_repl=dmg_repl,
             _make_minv=make_minv,
         )
 
@@ -296,12 +306,12 @@ class DistributedUnstructuredSolver:
         n_cyc = self.n_cycles
         cw = self.coarse_weight
 
-        def kernel(f_b, x0_b, tg_b, tr_b, dmg_b):
+        def kernel(f_b, x0_b, tg_b, tr_b, dmg_b, dmg_repl_b):
             slice0 = lambda t: jax.tree.map(lambda a: a[0], t)
             f, x = f_b[0], x0_b[0]
             mask, binv, *data = slice0(tg_b)
             ii, iw, ridx, rw, lmask = slice0(tr_b)
-            minv_latt = self._make_minv(*slice0(dmg_b))
+            minv_latt = self._make_minv(*slice0(dmg_b), *dmg_repl_b)
 
             def A(v):
                 return top._apply_constrained_local(v, mask, *data)
@@ -362,7 +372,8 @@ class DistributedUnstructuredSolver:
         spec = P(ax)
         fn = jax.shard_map(
             kernel, mesh=self.mesh,
-            in_specs=(spec, spec, spec, spec, spec),
+            in_specs=(spec, spec, spec, spec, spec,
+                      jax.tree.map(lambda _: P(), tuple(self.dmg_repl))),
             out_specs=(spec, P(), P()))
         return jax.jit(fn)
 
@@ -384,7 +395,20 @@ class DistributedUnstructuredSolver:
         x0_st = (jnp.zeros_like(f_st) if x0_global is None else
                  jnp.asarray(top.scatter(np.asarray(x0_global)).astype(dt)))
         tg_args, tr_args = self._stacked_args()
-        x_st, k, res = self.solver_fn(tol, maxiter)(
-            f_st, x0_st, tg_args, tr_args, self.dmg_extra)
+        # cache the traced solver per (tol, maxiter): the f64 refinement
+        # loop and solve_cases call solve() repeatedly, and a fresh
+        # jit(shard_map(...)) wrapper per call would re-trace and recompile
+        # the whole PCG program every time
+        cache = getattr(self, "_solver_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_solver_cache", cache)
+        key = (float(tol), int(maxiter))
+        fn = cache.get(key)
+        if fn is None:
+            fn = self.solver_fn(tol, maxiter)
+            cache[key] = fn
+        x_st, k, res = fn(
+            f_st, x0_st, tg_args, tr_args, self.dmg_extra, self.dmg_repl)
         return (top.gather(np.asarray(x_st)), int(k), float(res),
                 bool(res <= tol))

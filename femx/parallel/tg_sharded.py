@@ -101,8 +101,12 @@ class ShardedTGOperator:
             bounds = np.minimum(np.arange(ndev + 1) * Nl, N)
         else:
             bounds = np.asarray(rank_bounds, dtype=np.int64)
-            assert bounds.shape == (ndev + 1,) and bounds[0] == 0 \
-                and bounds[-1] == N and (np.diff(bounds) >= 0).all()
+            # public-API validation must survive python -O (asserts vanish)
+            if not (bounds.shape == (ndev + 1,) and bounds[0] == 0
+                    and bounds[-1] == N and (np.diff(bounds) >= 0).all()):
+                raise ValueError(
+                    f"rank_bounds must be a nondecreasing ({ndev + 1},) "
+                    f"array from 0 to {N}, got {bounds!r}")
             Nl = max(1, int(np.diff(bounds).max()))
         owner_node = np.clip(
             np.searchsorted(bounds, rank_of, side="right") - 1, 0, ndev - 1)

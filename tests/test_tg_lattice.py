@@ -90,7 +90,7 @@ def test_distributed_solve_collectives_are_surface_sized(problem):
     tg_args, tr_args = solver._stacked_args()
     hlo = solver.solver_fn(1e-8, 100).lower(
         f_st, jnp.zeros_like(f_st), tg_args, tr_args,
-        solver.dmg_extra).compile().as_text()
+        solver.dmg_extra, solver.dmg_repl).compile().as_text()
 
     ndof_local = int(np.prod(f_st.shape[1:]))  # per-device owned volume
     # the one legitimately-global payload: the replicated-coarse handoff
