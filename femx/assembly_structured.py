@@ -568,16 +568,11 @@ class StructuredSolidOperator:
         offs = self._phase_offsets()
         # constrain blocks with the mask, then invert per node (host, once)
         mask = self.free_mask_host
-        node_pos = 0
-        masked = bd.copy()
-        for i, s in enumerate(shapes):
-            cnt = s[0] * s[1] * s[2]
-            m = mask[offs[i] : offs[i + 1]].reshape(3, cnt).T  # (cnt, 3)
-            blk = masked[node_pos : node_pos + cnt]
-            blk *= m[:, :, None] * m[:, None, :]
-            blk += (1.0 - m)[:, :, None] * np.eye(3, dtype=bd.dtype)
-            node_pos += cnt
-        binv = _inv3x3_np(masked)  # (n_nodes, 3, 3), host, once
+        mask3 = np.concatenate([
+            mask[offs[i] : offs[i + 1]].reshape(3, -1).T
+            for i in range(8)
+        ])  # (n_nodes, 3) in internal node order
+        binv = constrained_block_inverse(bd, mask3)
         out = []
         node_pos = 0
         for s in shapes:
@@ -614,6 +609,23 @@ class StructuredSolidOperator:
         """
         binv_phases = [jnp.asarray(b) for b in self.block_jacobi_tensors()]
         return lambda r: self.apply_block_jacobi(binv_phases, r)
+
+
+def constrained_block_inverse(bd: np.ndarray, mask3: np.ndarray) -> np.ndarray:
+    """Invert per-node 3x3 diagonal blocks under a DOF mask (host, once).
+
+    Masked rows/columns are zeroed and fixed diagonal entries replaced by
+    identity before inversion, so fixed DOFs map r -> r and free DOFs get
+    the constrained block inverse. The single implementation shared by the
+    single-device, halo-distributed and DOF-sharded block-Jacobi builders
+    (three divergent copies of this masking invited drift).
+
+    Args: bd (n, 3, 3) nodal blocks; mask3 (n, 3) 1/0 free mask.
+    """
+    blk = bd.copy()
+    blk *= mask3[:, :, None] * mask3[:, None, :]
+    blk += (1.0 - mask3)[:, :, None] * np.eye(3, dtype=bd.dtype)
+    return _inv3x3_np(blk)
 
 
 def conv_routing_active(op: StructuredSolidOperator) -> bool:

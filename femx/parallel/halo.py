@@ -208,20 +208,16 @@ class HaloStructuredOperator:
         """Per-phase (ndev, 3, 3, cnt_local) inverse nodal blocks, sliced
         from the FULL operator's diagonal (so boundary and ghost blocks are
         complete, not slab-truncated). Host-side, once."""
+        from femx.assembly_structured import constrained_block_inverse
+
         bd = self.op.block_diagonal_internal()  # (n_nodes, 3, 3) host
         mask = self.op.free_mask_host
         shapes_f = self.op._phase_shapes()
         offs = self.op._phase_offsets()
-        masked = bd.copy()
-        pos = 0
-        for i, s in enumerate(shapes_f):
-            cnt = s[0] * s[1] * s[2]
-            m = mask[offs[i]: offs[i + 1]].reshape(3, cnt).T
-            blk = masked[pos: pos + cnt]
-            blk *= m[:, :, None] * m[:, None, :]
-            blk += (1.0 - m)[:, :, None] * np.eye(3, dtype=bd.dtype)
-            pos += cnt
-        binv = np.linalg.inv(masked)
+        mask3 = np.concatenate([
+            mask[offs[i]: offs[i + 1]].reshape(3, -1).T for i in range(8)
+        ])
+        binv = constrained_block_inverse(bd, mask3)
         out = []
         pos = 0
         for i, s in enumerate(shapes_f):

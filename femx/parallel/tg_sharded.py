@@ -218,7 +218,7 @@ class ShardedTGOperator:
         bd = cls._nodal_blocks(points, conn, dNg, wdet, float(E_mod),
                                float(nu), float(weight))  # (N,3,3) node order
         bd_rank = bd[zperm]
-        from femx.assembly_structured import _inv3x3_np
+        from femx.assembly_structured import constrained_block_inverse
 
         binv_st = np.zeros((ndev, Nl, 3, 3), dtype=dt)
         for d in range(ndev):
@@ -228,10 +228,8 @@ class ShardedTGOperator:
                 continue
             mask_st[d, :n_own] = mask_rank[lo[d]:lo[d] + n_own]
             m = mask_rank[lo[d]:lo[d] + n_own]
-            blk = bd_rank[lo[d]:lo[d] + n_own].copy()
-            blk *= m[:, :, None] * m[:, None, :]
-            blk += (1.0 - m)[:, :, None] * np.eye(3)
-            binv_st[d, :n_own] = _inv3x3_np(blk)
+            binv_st[d, :n_own] = constrained_block_inverse(
+                bd_rank[lo[d]:lo[d] + n_own], m)
             binv_st[d, n_own:] = np.eye(3, dtype=dt)  # phantom padding nodes
 
         C6 = np.asarray(material_matrix(float(E_mod), float(nu),
