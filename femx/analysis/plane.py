@@ -275,19 +275,20 @@ class PlaneAnalysis:
     def compute_stresses(self):
         """Nodal-averaged stresses (Voigt [xx, yy, xy]) and von Mises.
 
-        Gauss-point stresses are extrapolated by simple averaging into nodes
-        (the smoothing idiom the reference's beam path uses,
-        BeamSolver.py:420-438). Returns (stress_nodes (N, 3), vm (N,)).
+        Stresses are evaluated AT each element's own node positions and
+        averaged across the elements sharing a node — O(h^2) accurate where
+        gauss-mean smoothing (the reference beam path's idiom,
+        BeamSolver.py:420-438) is only O(h) at boundaries. Returns
+        (stress_nodes (N, 3), vm (N,)).
         """
-        dN, wdet, _ = tri6_el.jacobians(
-            jnp.asarray(self.points[:, :2], dtype=self.dtype)[jnp.asarray(self.conn)])
+        coords = jnp.asarray(self.points[:, :2], dtype=self.dtype)[
+            jnp.asarray(self.conn)]
         ue = jnp.asarray(self.u.reshape(-1, 2)[self.conn], dtype=self.dtype)
-        _, stress = tri6_el.element_strain_stress_plane(dN, self.C, ue)
-        s_elem = np.asarray(stress.mean(axis=1))  # (E, 3) element average
+        stress = tri6_el.element_stress_at_nodes_plane(coords, self.C, ue)
         acc = np.zeros((self.num_nodes, 3))
         cnt = np.zeros(self.num_nodes)
         np.add.at(acc, self.conn.reshape(-1),
-                  np.repeat(s_elem, 6, axis=0))
+                  np.asarray(stress, dtype=np.float64).reshape(-1, 3))
         np.add.at(cnt, self.conn.reshape(-1), 1.0)
         s_node = acc / np.maximum(cnt, 1.0)[:, None]
         vm = np.asarray(tri6_el.von_mises_plane(

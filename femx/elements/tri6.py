@@ -60,6 +60,17 @@ def _dshape_natural(xi, eta):
 DN_NATURAL = np.stack([_dshape_natural(*p) for p in GAUSS_POINTS])
 N_AT_GAUSS = np.stack([_shape(*p) for p in GAUSS_POINTS])
 
+# Natural coordinates of the 6 nodes (gmsh order) and the shape gradients
+# there — used for NODAL stress recovery (evaluating strains at the nodes
+# themselves is O(h^2) accurate where gauss-mean averaging is only O(h),
+# which matters at surfaces with steep gradients, e.g. the 1/r^2 hoop
+# stress at a pipe bore).
+NODE_NATURAL = np.array([
+    [0.0, 0.0], [1.0, 0.0], [0.0, 1.0],
+    [0.5, 0.0], [0.5, 0.5], [0.0, 0.5],
+])
+DN_AT_NODES = np.stack([_dshape_natural(*p) for p in NODE_NATURAL])
+
 # Voigt selector Sel[a, c, k]: plane strain component a gets contribution
 # dN[k, i] * u[(i, c)].  Rows: xx, yy, xy.
 _SEL2 = np.zeros((3, 2, 2))
@@ -191,6 +202,53 @@ def element_strain_stress_plane(dN, C, ue):
     strain = jnp.einsum("ack,egkc->ega", sel, grad)
     stress = jnp.einsum("ab,egb->ega", C, strain)
     return strain, stress
+
+
+def _node_gradients(coords):
+    """Global shape gradients at the 6 NODE positions, (E, 6, 2, 6).
+
+    Index 1 is the evaluation node, index 3 the shape function."""
+    dn = jnp.asarray(DN_AT_NODES, dtype=coords.dtype)
+    J = jnp.einsum("gkn,enc->egkc", dn, coords)
+    Jinv, detJ = _inv2x2(J)
+    return jnp.einsum("egkc,gcn->egkn", Jinv, dn), detJ
+
+
+def element_stress_at_nodes_plane(coords, C, ue):
+    """Plane stress tensors evaluated AT the element nodes, (E, 6, 3).
+
+    Average across the elements sharing each node for a smoothed nodal
+    field (the O(h^2) recovery)."""
+    dN, _ = _node_gradients(coords)
+    sel = jnp.asarray(_SEL2, dtype=ue.dtype)
+    grad = jnp.einsum("egkn,enc->egkc", dN, ue)
+    strain = jnp.einsum("ack,egkc->ega", sel, grad)
+    return jnp.einsum("ab,egb->ega", C, strain)
+
+
+def element_stress_at_nodes_axisym(coords, C, ue, alpha=0.0, dT_nodes=None):
+    """Axisymmetric stress tensors AT the element nodes, (E, 6, 4).
+
+    The hoop strain at node n is exactly u_r[n] / r[n]; thermal correction
+    uses the nodal temperatures directly. On the axis (r = 0) the hoop
+    strain limit eps_tt -> du_r/dr is substituted."""
+    dN, _ = _node_gradients(coords)
+    sel = jnp.asarray(_SEL_AX, dtype=ue.dtype)
+    grad = jnp.einsum("egkn,enc->egkc", dN, ue)
+    strain = jnp.einsum("ack,egkc->ega", sel, grad)
+    r = coords[:, :, 0]  # (E, 6): radius at each node
+    on_axis = r <= 1e-300
+    hoop = jnp.where(on_axis,
+                     strain[:, :, 0],  # L'Hopital: u_r/r -> du_r/dr at r=0
+                     ue[:, :, 0] / jnp.where(on_axis, 1.0, r))
+    strain = strain.at[:, :, 2].add(hoop)
+    if dT_nodes is not None:
+        eps_th = alpha * dT_nodes[..., None] * jnp.asarray(
+            [1.0, 1.0, 1.0, 0.0], dtype=coords.dtype)
+        mech = strain - eps_th
+    else:
+        mech = strain
+    return jnp.einsum("ab,egb->ega", C, mech)
 
 
 def von_mises_plane(stress, v=None):
