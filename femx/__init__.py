@@ -26,7 +26,14 @@ from femx.mesh import (
     write_msh,
 )
 from femx.sections import calculate_section_properties, compute_properties, SectionProperties
-from femx.analysis import BeamAnalysis, SolidReactionAnalysis, ForceAnalysis
+from femx.analysis import (
+    BeamAnalysis,
+    ForceAnalysis,
+    PipeThermalAnalysis,
+    PlaneAnalysis,
+    ShaftModalAnalysis,
+    SolidReactionAnalysis,
+)
 
 __version__ = "0.1.0"
 
@@ -48,4 +55,7 @@ __all__ = [
     "BeamAnalysis",
     "SolidReactionAnalysis",
     "ForceAnalysis",
+    "PlaneAnalysis",
+    "PipeThermalAnalysis",
+    "ShaftModalAnalysis",
 ]

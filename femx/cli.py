@@ -11,6 +11,12 @@ same workflows headlessly (the GUI layer in femx.ui wraps these):
       --section 'beam=I section:d=0.05,b=0.025,t_w=0.005,t_f=0.005,r=0.001' \
       --fix-group fix:xyzXYZ --force-group load_y=0,-3000,0 --report out.md
   python -m femx section --type 'I section' --params d=0.05,b=0.025,...
+  python -m femx shaft --segment 2.0,0.04 --bearing 0 --bearing 2 \
+      --E 2e11 --nu 0.3 --json
+  python -m femx plane --plate 1.0 0.2 --mesh-size 0.025 --E 2e11 --nu 0.3 \
+      --thickness 0.01 --force-edge right=0,-1000 --fix-edge left
+  python -m femx pipe --ri 0.05 --ro 0.08 --E 2e11 --nu 0.3 \
+      --Ti 200 --To 50 --pi 5e6 --json
 """
 
 from __future__ import annotations
@@ -163,6 +169,66 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--rotate", action="store_true")
     se.add_argument("--method", choices=["auto", "fem", "closed_form"], default="auto")
 
+    sh = sub.add_parser("shaft", help="shaft modal / critical-speed analysis")
+    sh.add_argument("--segment", action="append", required=True,
+                    metavar="L,D[,D_INNER]",
+                    help="axial step: length,outer_dia[,inner_dia] (repeat "
+                         "in order from x=0)")
+    sh.add_argument("--bearing", action="append", type=float, required=True,
+                    metavar="X", help="pinned bearing position (repeat)")
+    sh.add_argument("--E", type=float, required=True)
+    sh.add_argument("--nu", type=float, required=True)
+    sh.add_argument("--rho", type=float, default=7850.0)
+    sh.add_argument("--modes", type=int, default=12)
+    sh.add_argument("--elem-length", type=float, default=None)
+    sh.add_argument("--free-torsion", action="store_true",
+                    help="leave the torsional branch free-free (spinning "
+                         "shaft) instead of locking r_x at the thrust bearing")
+    sh.add_argument("--json", action="store_true")
+
+    pl = sub.add_parser("plane", help="2D plane stress/strain static analysis")
+    pl.add_argument("--msh", help="Tri6 (or Tri3) .msh input")
+    pl.add_argument("--plate", nargs=2, type=float, metavar=("W", "H"),
+                    help="generate a structured Tri6 rectangle instead")
+    pl.add_argument("--mesh-size", type=float, default=0.025)
+    pl.add_argument("--E", type=float, required=True)
+    pl.add_argument("--nu", type=float, required=True)
+    pl.add_argument("--thickness", type=float, default=1.0)
+    pl.add_argument("--mode", choices=["stress", "strain"], default="stress")
+    pl.add_argument("--force-edge", action="append", default=[],
+                    metavar="GROUP=FX,FY",
+                    help="total force resultant over an edge group "
+                         "(left/right/bottom/top for --plate meshes)")
+    pl.add_argument("--fix-edge", action="append", default=[],
+                    metavar="GROUP[:AXES]", help="fix an edge group (xy)")
+    pl.add_argument("--force", action="append", default=[],
+                    metavar="FX,FY@X,Y", help="point force")
+    pl.add_argument("--fix", action="append", default=[],
+                    metavar="X,Y[:AXES]", help="point fix")
+    pl.add_argument("--json", action="store_true")
+
+    pi = sub.add_parser("pipe", help="pipe thermal + pressure stress "
+                                     "(axisymmetric)")
+    pi.add_argument("--ri", type=float, required=True, help="inner radius [m]")
+    pi.add_argument("--ro", type=float, required=True, help="outer radius [m]")
+    pi.add_argument("--length", type=float, default=0.3)
+    pi.add_argument("--E", type=float, required=True)
+    pi.add_argument("--nu", type=float, required=True)
+    pi.add_argument("--alpha", type=float, default=1.2e-5)
+    pi.add_argument("--Ti", type=float, default=0.0,
+                    help="inner-wall temperature rise [K]")
+    pi.add_argument("--To", type=float, default=0.0,
+                    help="outer-wall temperature rise [K]")
+    pi.add_argument("--pi", type=float, default=0.0, dest="p_inner",
+                    help="internal pressure [Pa]")
+    pi.add_argument("--po", type=float, default=0.0, dest="p_outer",
+                    help="external pressure [Pa]")
+    pi.add_argument("--end", choices=["plane_strain", "free"],
+                    default="plane_strain")
+    pi.add_argument("--nr", type=int, default=24)
+    pi.add_argument("--nz", type=int, default=12)
+    pi.add_argument("--json", action="store_true")
+
     return ap
 
 
@@ -170,7 +236,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     platform = args.platform
-    if platform == "auto" and args.cmd in ("beam", "section", "mesh-box"):
+    if platform == "auto" and args.cmd in ("beam", "section", "mesh-box",
+                                           "shaft", "plane", "pipe"):
         platform = "cpu"
     if platform == "cpu":
         import jax
@@ -283,6 +350,111 @@ def main(argv=None) -> int:
 
             out = beam_report(ba, res, args.report)
             print(f"Report written to {out}")
+        return 0
+
+    if args.cmd == "shaft":
+        from femx.analysis import ShaftModalAnalysis
+
+        segments = []
+        for s in args.segment:
+            vals = _parse_vec3(s)
+            seg = {"length": vals[0], "d": vals[1]}
+            if len(vals) > 2 and vals[2] > 0:
+                seg["d_inner"] = vals[2]
+            segments.append(seg)
+        sm = ShaftModalAnalysis(
+            segments, args.bearing, E=args.E, nu=args.nu, rho=args.rho,
+            target_elem_length=args.elem_length,
+            free_torsion=args.free_torsion, verbose=not args.json)
+        modes = sm.run(n_modes=args.modes)
+        if args.json:
+            print(json.dumps({
+                "modes": [{"frequency_hz": m.frequency_hz,
+                           "family": m.family,
+                           "critical_speed_rpm": m.critical_speed_rpm}
+                          for m in modes],
+                "critical_speeds_rpm": list(sm.critical_speeds_rpm),
+            }))
+        return 0
+
+    if args.cmd == "plane":
+        import numpy as np
+
+        from femx.analysis import PlaneAnalysis
+        from femx.mesh import read_msh
+        from femx.mesh.generators2d import rect_tri6
+
+        forces = [{"group": g, "force_x": f[0], "force_y": f[1]}
+                  for g, f in ((s.split("=")[0], _parse_vec3(s.split("=")[1]))
+                               for s in args.force_edge)]
+        for s in args.force:
+            vec, pos = s.split("@")
+            f, p = _parse_vec3(vec), _parse_vec3(pos)
+            forces.append({"force_x": f[0], "force_y": f[1],
+                           "force_x_pstn": p[0], "force_y_pstn": p[1]})
+        fixes = []
+        for s in args.fix_edge:
+            group, axes = s.split(":") if ":" in s else (s, "xy")
+            fixes.append({"group": group,
+                          "fix_x": 0 if "x" in axes else None,
+                          "fix_y": 0 if "y" in axes else None})
+        for s in args.fix:
+            pos, axes = s.split(":") if ":" in s else (s, "xy")
+            p = _parse_vec3(pos)
+            fixes.append({"pos_x": p[0], "pos_y": p[1],
+                          "fix_x": 0 if "x" in axes else None,
+                          "fix_y": 0 if "y" in axes else None})
+        if args.msh:
+            mesh = read_msh(args.msh)
+        elif args.plate:
+            mesh = rect_tri6(*args.plate, args.mesh_size)
+        else:
+            print("error: provide --msh or --plate", file=sys.stderr)
+            return 2
+        pa = PlaneAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
+                           thickness=args.thickness, mode=args.mode,
+                           verbose=not args.json)
+        pa.run_simulation()
+        _, vm = pa.compute_stresses()
+        imax = int(np.argmax(vm))
+        if args.json:
+            print(json.dumps({
+                "max_displacement": float(
+                    np.abs(pa.u.reshape(-1, 2)).max()),
+                "max_von_mises_mpa": float(vm[imax] / 1e6),
+                "equilibrium_residual": [float(v)
+                                         for v in pa.equilibrium_residual()],
+                "solve_info": pa.solve_info,
+            }))
+        else:
+            x, y = (float(v) for v in pa.points[imax, :2])
+            print(f"Max von Mises stress: {vm[imax] / 1e6:.4f} MPa at node "
+                  f"{imax} ({x:g}, {y:g})")
+        return 0
+
+    if args.cmd == "pipe":
+        import numpy as np
+
+        from femx.analysis import PipeThermalAnalysis
+
+        pa = PipeThermalAnalysis(
+            args.ri, args.ro, length=args.length, E=args.E, v=args.nu,
+            alpha=args.alpha, T_inner=args.Ti, T_outer=args.To,
+            pressure_inner=args.p_inner, pressure_outer=args.p_outer,
+            end_condition=args.end, n_r=args.nr, n_z=args.nz,
+            verbose=not args.json)
+        pa.run_simulation()
+        if args.json:
+            radii, s_tt = pa.radial_profile(pa.stress_nodes[:, 2])
+            print(json.dumps({
+                "max_von_mises_mpa": float(pa.von_mises.max() / 1e6),
+                "max_radial_displacement": float(
+                    np.abs(pa.u[0::2]).max()),
+                "bore_hoop_stress_mpa": float(s_tt[0] / 1e6),
+                "radii": [float(r) for r in radii],
+                "hoop_profile_mpa": [float(v / 1e6) for v in s_tt],
+                "solve_info": pa.solve_info,
+            }))
         return 0
 
     if args.cmd == "section":

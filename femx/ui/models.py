@@ -27,9 +27,10 @@ SECTION_TYPES = [
     "hollow circular section",
 ]
 
-# Launcher options (reference: FEM_calc.ui:97-111); only the first two are
-# implemented — the rest open an empty placeholder, like the reference
-# (FEM_main.py:412-431).
+# Launcher options (reference: FEM_calc.ui:97-111). The reference implements
+# only the first two; its last three open an empty 19-line placeholder dialog
+# (FEM_main.py:412-431). femx implements ALL FIVE for real
+# (femx/analysis/{solid,beam,shaft,plane,pipe}.py).
 PRODUCT_OPTIONS = [
     "Reaction Force Calculator",
     "Beam analysis",
@@ -37,7 +38,7 @@ PRODUCT_OPTIONS = [
     "2D Static Analysis",
     "Pipe Thermal Stress Analysis",
 ]
-IMPLEMENTED_PRODUCTS = PRODUCT_OPTIONS[:2]
+IMPLEMENTED_PRODUCTS = list(PRODUCT_OPTIONS)
 
 
 class ReactionCalculatorModel:
@@ -302,3 +303,215 @@ class BeamAnalysisModel:
         if self.mesh is None or not self.section_data:
             raise RuntimeError("Please load a mesh and assign sections first.")
         return plot_extruded_sections(self.mesh, self.section_data, filename=filename)
+
+
+class ShaftModalModel:
+    """State + operations of the 'Shaft modal' window (a reference
+    placeholder, FEM_main.py:412-431, implemented for real)."""
+
+    def __init__(self):
+        # pre-seeded demo: a 2 m, 40 mm steel shaft on end bearings
+        self.segments: List[dict] = [{"length": 2.0, "d": 0.04}]
+        self.bearings: List[float] = [0.0, 2.0]
+        self.E = 2e11
+        self.nu = 0.3
+        self.rho = 7850.0
+        self.n_modes = 12
+        self.analysis = None
+        self.modes = None
+
+    def list_items(self) -> List[str]:
+        out = []
+        x = 0.0
+        for i, s in enumerate(self.segments):
+            di = s.get("d_inner", 0.0)
+            hollow = f", d_inner={di}" if di else ""
+            out.append(f"Segment {i + 1}: x=[{x:g}, {x + s['length']:g}] m, "
+                       f"d={s['d']}{hollow}")
+            x += s["length"]
+        for i, b in enumerate(self.bearings):
+            out.append(f"Bearing {i + 1}: x={b:g} m")
+        return out
+
+    def add_segment(self, length: float, d: float, d_inner: float = 0.0) -> None:
+        seg = {"length": float(length), "d": float(d)}
+        if d_inner:
+            seg["d_inner"] = float(d_inner)
+        self.segments.append(seg)
+
+    def add_bearing(self, x: float) -> None:
+        self.bearings.append(float(x))
+
+    def remove_item(self, row: int) -> bool:
+        if 0 <= row < len(self.segments):
+            self.segments.pop(row)
+            return True
+        idx = row - len(self.segments)
+        if 0 <= idx < len(self.bearings):
+            self.bearings.pop(idx)
+            return True
+        return False
+
+    def run_analysis(self, verbose: bool = True):
+        from femx.analysis import ShaftModalAnalysis
+
+        self.analysis = ShaftModalAnalysis(
+            self.segments, self.bearings, E=self.E, nu=self.nu, rho=self.rho,
+            verbose=verbose)
+        self.modes = self.analysis.run(n_modes=self.n_modes)
+        return self.modes
+
+    def results_text(self) -> List[str]:
+        if not self.modes:
+            return []
+        out = []
+        for i, m in enumerate(self.modes):
+            rpm = (f" | critical speed {m.critical_speed_rpm:.1f} RPM"
+                   if m.critical_speed_rpm is not None else "")
+            out.append(f"Mode {i + 1}: {m.frequency_hz:.3f} Hz "
+                       f"[{m.family}]{rpm}")
+        return out
+
+
+class PlaneAnalysisModel:
+    """State + operations of the '2D Static Analysis' window (a reference
+    placeholder, FEM_main.py:412-431, implemented for real).
+
+    Geometry is a rectangle meshed with Tri6 (femx.mesh.generators2d);
+    forces/fixes address the boundary edge groups 'left'/'right'/
+    'bottom'/'top' or explicit (x, y) points, mirroring the 3D window's
+    0 = fixed / None = free semantics."""
+
+    def __init__(self):
+        # pre-seeded demo: 1 m x 0.2 m cantilever plate, tip shear
+        self.system_data = {"w": 1.0, "h": 0.2, "mesh": 0.025}
+        self.force_data_list: List[dict] = [
+            {"group": "right", "force_x": 0.0, "force_y": -1000.0}]
+        self.fix_data_list: List[dict] = [
+            {"group": "left", "fix_x": 0, "fix_y": 0}]
+        self.E = 2e11
+        self.nu = 0.3
+        self.thickness = 0.01
+        self.mode = "stress"
+        self.analysis = None
+
+    def list_items(self) -> List[str]:
+        s = self.system_data
+        items = [f"Plate: {s['w']} x {s['h']} m, Mesh Size: {s['mesh']}, "
+                 f"t={self.thickness} m ({self.mode})"]
+        for i, fd in enumerate(self.force_data_list):
+            where = (f"edge '{fd['group']}'" if "group" in fd
+                     else f"({fd['force_x_pstn']}, {fd['force_y_pstn']})")
+            items.append(f"Force {i + 1}: ({fd['force_x']}, {fd['force_y']}) "
+                         f"N @ {where}")
+        for i, fx in enumerate(self.fix_data_list):
+            axes = [a for a, k in zip("XY", ("fix_x", "fix_y"))
+                    if fx.get(k) == 0]
+            where = (f"edge '{fx['group']}'" if "group" in fx
+                     else f"({fx['pos_x']}, {fx['pos_y']})")
+            items.append(f"Fix {i + 1}: {where} - Fixed Dof: "
+                         f"[{', '.join(axes) if axes else 'None'}]")
+        return items
+
+    def set_system(self, w: float, h: float, mesh: float) -> None:
+        self.system_data = {"w": float(w), "h": float(h), "mesh": float(mesh)}
+
+    def add_force(self, force_xy, group: Optional[str] = None,
+                  pos_xy=None) -> None:
+        fx, fy = (float(v) for v in force_xy)
+        item = {"force_x": fx, "force_y": fy}
+        if group is not None:
+            item["group"] = group
+        else:
+            item["force_x_pstn"], item["force_y_pstn"] = (
+                float(v) for v in pos_xy)
+        self.force_data_list.append(item)
+
+    def add_fix(self, fix_x: bool, fix_y: bool, group: Optional[str] = None,
+                pos_xy=None) -> None:
+        item = {"fix_x": 0 if fix_x else None, "fix_y": 0 if fix_y else None}
+        if group is not None:
+            item["group"] = group
+        else:
+            item["pos_x"], item["pos_y"] = (float(v) for v in pos_xy)
+        self.fix_data_list.append(item)
+
+    def remove_item(self, row: int) -> bool:
+        n_f = len(self.force_data_list)
+        if row <= 0:
+            return False
+        if row <= n_f:
+            self.force_data_list.pop(row - 1)
+            return True
+        idx = row - 1 - n_f
+        if idx < len(self.fix_data_list):
+            self.fix_data_list.pop(idx)
+            return True
+        return False
+
+    def run_analysis(self, verbose: bool = True):
+        from femx.analysis import PlaneAnalysis
+        from femx.mesh.generators2d import rect_tri6
+
+        s = self.system_data
+        mesh = rect_tri6(s["w"], s["h"], s["mesh"])
+        self.analysis = PlaneAnalysis(
+            mesh, self.force_data_list, self.fix_data_list,
+            E=self.E, v=self.nu, thickness=self.thickness, mode=self.mode,
+            verbose=verbose)
+        self.analysis.run_simulation()
+        self.analysis.compute_stresses()
+        return self.analysis
+
+
+class PipeThermalModel:
+    """State + operations of the 'Pipe Thermal Stress Analysis' window
+    (a reference placeholder, FEM_main.py:412-431, implemented for real)."""
+
+    def __init__(self):
+        # pre-seeded demo: a hot steam pipe
+        self.params = {
+            "r_inner": 0.05, "r_outer": 0.08, "length": 0.3,
+            "E": 2e11, "v": 0.3, "alpha": 1.2e-5,
+            "T_inner": 200.0, "T_outer": 50.0,
+            "pressure_inner": 5e6, "pressure_outer": 0.0,
+        }
+        self.end_condition = "plane_strain"
+        self.n_r = 24
+        self.n_z = 12
+        self.analysis = None
+
+    def list_items(self) -> List[str]:
+        p = self.params
+        return [
+            f"Pipe: r=[{p['r_inner']}, {p['r_outer']}] m, L={p['length']} m "
+            f"({self.end_condition})",
+            f"Material: E={p['E']:g} Pa, v={p['v']}, alpha={p['alpha']:g}",
+            f"Wall temperature: {p['T_inner']} -> {p['T_outer']} degC",
+            f"Pressure: inner {p['pressure_inner']:g} Pa, "
+            f"outer {p['pressure_outer']:g} Pa",
+        ]
+
+    def run_analysis(self, verbose: bool = True):
+        from femx.analysis import PipeThermalAnalysis
+
+        self.analysis = PipeThermalAnalysis(
+            end_condition=self.end_condition, n_r=self.n_r, n_z=self.n_z,
+            verbose=verbose, **self.params)
+        self.analysis.run_simulation()
+        return self.analysis
+
+    def results_text(self) -> List[str]:
+        a = self.analysis
+        if a is None:
+            return []
+        import numpy as np
+
+        i = int(np.argmax(a.von_mises))
+        return [
+            f"max |u_r| = {np.abs(a.u[0::2]).max():.4e} m",
+            f"max von Mises = {a.von_mises[i]:.4e} Pa @ "
+            f"r={a.points[i, 0]:.4g} m, z={a.points[i, 1]:.4g} m",
+            f"bore hoop stress = "
+            f"{a.radial_profile(a.stress_nodes[:, 2])[1][0]:.4e} Pa",
+        ]

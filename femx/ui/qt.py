@@ -1,12 +1,13 @@
 """PyQt5 GUI bindings (optional — gated on PyQt5 availability).
 
 Thin widget layer over femx.ui.models, replicating the reference's window
-set: a launcher dialog with the 5 product options (FEM_main.py:436-455;
-'Shaft modal', '2D Static Analysis' and 'Pipe Thermal Stress Analysis' open
-an empty placeholder exactly like the reference's modal.ui/static.ui stubs,
-FEM_main.py:412-431), the Reaction Force Calculator window
-(FEM_main.py:105-396) and the Beam Analysis window (BeamSolver.py:176-465).
-Widgets are built programmatically — no .ui files required.
+set: a launcher dialog with the 5 product options (FEM_main.py:436-455),
+the Reaction Force Calculator window (FEM_main.py:105-396) and the Beam
+Analysis window (BeamSolver.py:176-465). The reference's three placeholder
+entries ('Shaft modal', '2D Static Analysis', 'Pipe Thermal Stress
+Analysis' — empty modal.ui/static.ui stubs, FEM_main.py:412-431) open REAL
+windows here, bound to femx.analysis.{shaft,plane,pipe}. Widgets are built
+programmatically — no .ui files required.
 
 PyQt5 is not installed in the femx CI environment; everything here imports
 lazily and `launch()` raises a clear error when Qt is missing. All
@@ -21,7 +22,10 @@ from femx.ui.models import (
     PRODUCT_OPTIONS,
     SECTION_TYPES,
     BeamAnalysisModel,
+    PipeThermalModel,
+    PlaneAnalysisModel,
     ReactionCalculatorModel,
+    ShaftModalModel,
 )
 
 try:
@@ -74,14 +78,14 @@ if QT_AVAILABLE:
 
         def on_ok_button_clicked(self):
             choice = self.comboBox.currentText()
-            if choice == "Reaction Force Calculator":
-                self.selected_window = ReactionForceCalculatorWindow()
-            elif choice == "Beam analysis":
-                self.selected_window = BeamAnalysisWindow()
-            else:
-                # unimplemented placeholders, like the reference's modal.ui
-                self.selected_window = QDialog()
-                self.selected_window.setWindowTitle(choice)
+            windows = {
+                "Reaction Force Calculator": ReactionForceCalculatorWindow,
+                "Beam analysis": BeamAnalysisWindow,
+                "Shaft modal": ShaftModalWindow,
+                "2D Static Analysis": PlaneAnalysisWindow,
+                "Pipe Thermal Stress Analysis": PipeThermalWindow,
+            }
+            self.selected_window = windows[choice]()
             self.accept()
 
     class ReactionForceCalculatorWindow(QDialog):
@@ -295,6 +299,229 @@ if QT_AVAILABLE:
                 QMessageBox.information(self, "Success", "Static and Modal analyses completed.")
             except Exception as e:
                 QMessageBox.critical(self, "Simulation Error", str(e))
+
+    class _ListRunWindow(QDialog):
+        """Shared plumbing for the three parameter-form product windows:
+        a list view of the model's items, buttons, and a Run that swaps the
+        list to the model's results text."""
+
+        def __init__(self, title: str):
+            super().__init__()
+            self.setWindowTitle(title)
+            self._lay = QVBoxLayout(self)
+            self.listView = QListView()
+            self.list_model = QStringListModel()
+            self.listView.setModel(self.list_model)
+
+        def _finish_layout(self, buttons):
+            self._lay.addWidget(self.listView)
+            btns = QHBoxLayout()
+            for label, slot in buttons:
+                b = QPushButton(label)
+                b.clicked.connect(slot)
+                btns.addWidget(b)
+            self._lay.addLayout(btns)
+            self._refresh()
+
+        def _refresh(self):
+            self.list_model.setStringList(self.model.list_items())
+
+        def _ask_floats(self, title, fields, defaults=()):
+            dlg = QDialog(self)
+            dlg.setWindowTitle(title)
+            form = QFormLayout(dlg)
+            edits = []
+            for i, f in enumerate(fields):
+                e = QLineEdit(str(defaults[i]) if i < len(defaults) else "")
+                form.addRow(f, e)
+                edits.append(e)
+            ok = QPushButton("OK")
+            ok.clicked.connect(dlg.accept)
+            form.addRow(ok)
+            if dlg.exec_() != QDialog.Accepted:
+                return None
+            try:
+                return [float(e.text()) for e in edits]
+            except ValueError:
+                QMessageBox.warning(self, "Input Error",
+                                    "Enter valid numbers in all fields.")
+                return None
+
+        def _remove(self):
+            sel = self.listView.selectedIndexes()
+            if not sel:
+                QMessageBox.warning(self, "Selection Error",
+                                    "Select an item to remove.")
+                return
+            self.model.remove_item(sel[0].row())
+            self._refresh()
+
+        def _run(self):
+            try:
+                self.model.run_analysis()
+                if hasattr(self.model, "results_text"):
+                    self.list_model.setStringList(self.model.results_text())
+                QMessageBox.information(self, "Success", "Analysis complete.")
+            except Exception as e:
+                QMessageBox.critical(self, "Analysis failed", str(e))
+
+    class ShaftModalWindow(_ListRunWindow):
+        def __init__(self):
+            super().__init__("Shaft Modal Analysis")
+            self.model = ShaftModalModel()
+            form = QFormLayout()
+            self.young_input = QLineEdit(str(self.model.E))
+            self.poisson_input = QLineEdit(str(self.model.nu))
+            self.density_input = QLineEdit(str(self.model.rho))
+            form.addRow("Young's modulus E (Pa)", self.young_input)
+            form.addRow("Poisson's ratio v", self.poisson_input)
+            form.addRow("Density rho (kg/m^3)", self.density_input)
+            self._lay.addLayout(form)
+            self._finish_layout([
+                ("Add segment", self._segment_dialog),
+                ("Add bearing", self._bearing_dialog),
+                ("Remove", self._remove),
+                ("Run", self._run),
+            ])
+
+        def _segment_dialog(self):
+            vals = self._ask_floats(
+                "Shaft segment",
+                ["length (m)", "outer diameter d (m)",
+                 "inner diameter (0 = solid)"], [1.0, 0.04, 0.0])
+            if vals:
+                self.model.add_segment(*vals)
+                self._refresh()
+
+        def _bearing_dialog(self):
+            vals = self._ask_floats("Bearing", ["axial position x (m)"])
+            if vals:
+                self.model.add_bearing(vals[0])
+                self._refresh()
+
+        def _run(self):
+            try:
+                self.model.E = float(self.young_input.text())
+                self.model.nu = float(self.poisson_input.text())
+                self.model.rho = float(self.density_input.text())
+            except ValueError:
+                QMessageBox.warning(self, "Input Error", "Invalid material values.")
+                return
+            super()._run()
+
+    class PlaneAnalysisWindow(_ListRunWindow):
+        def __init__(self):
+            super().__init__("2D Static Analysis")
+            self.model = PlaneAnalysisModel()
+            form = QFormLayout()
+            self.young_input = QLineEdit(str(self.model.E))
+            self.poisson_input = QLineEdit(str(self.model.nu))
+            self.thickness_input = QLineEdit(str(self.model.thickness))
+            self.mode_combo = QComboBox()
+            self.mode_combo.addItems(["stress", "strain"])
+            form.addRow("Young's modulus E (Pa)", self.young_input)
+            form.addRow("Poisson's ratio v", self.poisson_input)
+            form.addRow("Thickness t (m)", self.thickness_input)
+            form.addRow("Plane mode", self.mode_combo)
+            self._lay.addLayout(form)
+            self.edge_combo = QComboBox()
+            self.edge_combo.addItems(["left", "right", "bottom", "top"])
+            row = QHBoxLayout()
+            row.addWidget(QLabel("Edge group"))
+            row.addWidget(self.edge_combo)
+            self._lay.addLayout(row)
+            self._finish_layout([
+                ("Plate size", self._system_dialog),
+                ("Add edge force", self._force_dialog),
+                ("Add edge fix", self._fix_dialog),
+                ("Remove", self._remove),
+                ("Run", self._run),
+            ])
+
+        def _system_dialog(self):
+            s = self.model.system_data
+            vals = self._ask_floats("Plate", ["width", "height", "mesh size"],
+                                    [s["w"], s["h"], s["mesh"]])
+            if vals:
+                self.model.set_system(*vals)
+                self._refresh()
+
+        def _force_dialog(self):
+            vals = self._ask_floats("Edge force (total resultant)",
+                                    ["Fx (N)", "Fy (N)"])
+            if vals:
+                self.model.add_force(vals, group=self.edge_combo.currentText())
+                self._refresh()
+
+        def _fix_dialog(self):
+            dlg = QDialog(self)
+            dlg.setWindowTitle("Edge fix")
+            form = QFormLayout(dlg)
+            checks = [QCheckBox(a) for a in "XY"]
+            row = QHBoxLayout()
+            for c in checks:
+                c.setChecked(True)
+                row.addWidget(c)
+            form.addRow("Fix DOFs", row)
+            ok = QPushButton("OK")
+            ok.clicked.connect(dlg.accept)
+            form.addRow(ok)
+            if dlg.exec_() == QDialog.Accepted:
+                self.model.add_fix(*[c.isChecked() for c in checks],
+                                   group=self.edge_combo.currentText())
+                self._refresh()
+
+        def _run(self):
+            try:
+                self.model.E = float(self.young_input.text())
+                self.model.nu = float(self.poisson_input.text())
+                self.model.thickness = float(self.thickness_input.text())
+            except ValueError:
+                QMessageBox.warning(self, "Input Error", "Invalid material values.")
+                return
+            self.model.mode = self.mode_combo.currentText()
+            try:
+                a = self.model.run_analysis()
+                vm = float(a.von_mises.max())
+                QMessageBox.information(
+                    self, "Success",
+                    f"Analysis complete. Max von Mises: {vm:.4e} Pa.")
+            except Exception as e:
+                QMessageBox.critical(self, "Analysis failed", str(e))
+
+    class PipeThermalWindow(_ListRunWindow):
+        def __init__(self):
+            super().__init__("Pipe Thermal Stress Analysis")
+            self.model = PipeThermalModel()
+            form = QFormLayout()
+            self._edits = {}
+            for key, label in [
+                ("r_inner", "Inner radius (m)"), ("r_outer", "Outer radius (m)"),
+                ("length", "Length (m)"), ("E", "Young's modulus E (Pa)"),
+                ("v", "Poisson's ratio v"),
+                ("alpha", "Thermal expansion alpha (1/K)"),
+                ("T_inner", "Inner wall dT (K)"), ("T_outer", "Outer wall dT (K)"),
+                ("pressure_inner", "Inner pressure (Pa)"),
+                ("pressure_outer", "Outer pressure (Pa)"),
+            ]:
+                e = QLineEdit(str(self.model.params[key]))
+                form.addRow(label, e)
+                self._edits[key] = e
+            self.end_combo = QComboBox()
+            self.end_combo.addItems(["plane_strain", "free"])
+            form.addRow("End condition", self.end_combo)
+            self._lay.addLayout(form)
+            self._finish_layout([("Run", self._run)])
+
+        def _run(self):
+            try:
+                for key, e in self._edits.items():
+                    self.model.params[key] = float(e.text())
+            except ValueError:
+                QMessageBox.warning(self, "Input Error", "Invalid parameter values.")
+                return
+            self.model.end_condition = self.end_combo.currentText()
+            super()._run()
 
 
 def launch(argv=None) -> int:

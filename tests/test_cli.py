@@ -5,6 +5,7 @@ femx's CLI must give the same one-call reachability for every capability —
 including stress recovery (new: --stress / --plot-color von_mises)."""
 
 import numpy as np
+import pytest
 
 from femx.cli import main
 
@@ -47,3 +48,51 @@ def test_cli_beam_json(tmp_path, capsys, monkeypatch):
 
     payload = json.loads(capsys.readouterr().out)
     assert np.isfinite(payload["max_displacement"])
+
+
+def test_cli_shaft_json(capsys):
+    rc = main([
+        "shaft", "--segment", "2.0,0.04", "--bearing", "0", "--bearing", "2",
+        "--E", "2e11", "--nu", "0.3", "--json",
+    ])
+    assert rc == 0
+    import json
+
+    payload = json.loads(capsys.readouterr().out)
+    families = {m["family"] for m in payload["modes"]}
+    assert "lateral" in families
+    # first critical speed of the pinned-pinned demo shaft ~ 1188 RPM
+    assert payload["critical_speeds_rpm"][0] == pytest.approx(1187.8, rel=1e-3)
+
+
+def test_cli_plane_json(capsys):
+    rc = main([
+        "plane", "--plate", "1.0", "0.2", "--mesh-size", "0.05",
+        "--E", "2e11", "--nu", "0.3", "--thickness", "0.01",
+        "--force-edge", "right=0,-1000", "--fix-edge", "left", "--json",
+    ])
+    assert rc == 0
+    import json
+
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["solve_info"]["method"] == "dense_cholesky"
+    assert abs(payload["equilibrium_residual"][1]) < 1e-6
+    assert payload["max_von_mises_mpa"] > 0
+
+
+def test_cli_pipe_json(capsys):
+    rc = main([
+        "pipe", "--ri", "0.1", "--ro", "0.16", "--E", "2e11", "--nu", "0.3",
+        "--pi", "50e6", "--nr", "16", "--nz", "4", "--json",
+    ])
+    assert rc == 0
+    import json
+
+    payload = json.loads(capsys.readouterr().out)
+    # Lame bore hoop for p=50 MPa, b/a=1.6: p (a^2+b^2)/(b^2-a^2) = 114.1 MPa
+    assert payload["bore_hoop_stress_mpa"] == pytest.approx(114.1, rel=0.02)
+
+
+def test_cli_plane_requires_geometry(capsys):
+    rc = main(["plane", "--E", "2e11", "--nu", "0.3"])
+    assert rc == 2

@@ -234,14 +234,16 @@ def qt(monkeypatch, tmp_path):
 
 
 def test_selection_dialog_all_products(qt):
+    # all five launcher entries open a REAL product window with a bound
+    # view-model (the reference only implements the first two and opens an
+    # empty 19-line placeholder for the rest, FEM_main.py:412-431)
+    assert qt.IMPLEMENTED_PRODUCTS == qt.PRODUCT_OPTIONS
     for i, name in enumerate(qt.PRODUCT_OPTIONS):
         dlg = qt.SelectionDialog()
         dlg.comboBox.setCurrentIndex(i)
         dlg.on_ok_button_clicked()
         assert dlg.selected_window is not None
-        if name not in qt.IMPLEMENTED_PRODUCTS:
-            # unimplemented placeholders open an empty titled dialog
-            assert dlg.selected_window.windowTitle == name
+        assert hasattr(dlg.selected_window, "model"), name
 
 
 def test_reaction_window_full_flow(qt):
@@ -290,6 +292,54 @@ def test_beam_window_load_and_run(qt):
         "information", ("Success", "Static and Modal analyses completed."))
     assert win.model.results is not None
     assert np.all(np.isfinite(win.model.results.u))
+
+
+def test_shaft_window_flow(qt):
+    win = qt.ShaftModalWindow()
+    assert any("Segment 1" in s for s in win.list_model.strings)
+    win._segment_dialog()  # accepts the prefilled (1.0, 0.04, 0.0) defaults
+    assert len(win.model.segments) == 2
+    win.listView.select_row(1)
+    win._remove()
+    assert len(win.model.segments) == 1
+    win.model.n_modes = 4
+    win._run()
+    assert QMessageBox.calls[-1] == ("information",
+                                     ("Success", "Analysis complete."))
+    # results replace the list content with the modal table
+    assert any("critical speed" in s for s in win.list_model.strings)
+    win.young_input.setText("nope")
+    win._run()
+    assert QMessageBox.calls[-1][0] == "warning"
+
+
+def test_plane_window_flow(qt):
+    win = qt.PlaneAnalysisWindow()
+    win.model.set_system(0.4, 0.2, 0.05)  # coarse for speed
+    win._system_dialog()
+    win._force_dialog()   # empty fields -> warning, no state change
+    assert QMessageBox.calls[-1][0] == "warning"
+    n_forces = len(win.model.force_data_list)
+    win._fix_dialog()     # checkbox-only dialog accepts -> adds an edge fix
+    assert len(win.model.fix_data_list) == 2
+    assert len(win.model.force_data_list) == n_forces
+    win._run()
+    assert QMessageBox.calls[-1][0] == "information"
+    assert "von Mises" in QMessageBox.calls[-1][1][1]
+    assert win.model.analysis.solve_info["method"] == "dense_cholesky"
+
+
+def test_pipe_window_flow(qt):
+    win = qt.PipeThermalWindow()
+    assert any("Pipe:" in s for s in win.list_model.strings)
+    win.model.n_r, win.model.n_z = 8, 4  # coarse for speed
+    win._run()
+    assert QMessageBox.calls[-1] == ("information",
+                                     ("Success", "Analysis complete."))
+    assert any("von Mises" in s for s in win.list_model.strings)
+    win._edits["r_inner"].setText("bad")
+    win._run()
+    assert QMessageBox.calls[-1][0] == "warning"
 
 
 def test_launch_gated_without_qt():

@@ -19,7 +19,9 @@ def test_launcher_options_match_reference():
         "2D Static Analysis",
         "Pipe Thermal Stress Analysis",
     ]
-    assert IMPLEMENTED_PRODUCTS == PRODUCT_OPTIONS[:2]
+    # femx implements all five launcher entries (the reference only the
+    # first two; its last three are empty placeholders, FEM_main.py:412-431)
+    assert IMPLEMENTED_PRODUCTS == PRODUCT_OPTIONS
 
 
 def test_reaction_model_defaults():
@@ -147,3 +149,47 @@ def test_beam_edit_item_semantics():
 
     # out-of-range rows report failure
     assert not m.edit_item(5, new_params={})
+
+
+def test_shaft_model_crud_and_run():
+    from femx.ui.models import ShaftModalModel
+
+    m = ShaftModalModel()
+    assert any("Segment 1" in s for s in m.list_items())
+    m.add_segment(0.5, 0.06, d_inner=0.03)
+    m.add_bearing(2.5)
+    assert len(m.list_items()) == 5  # 2 segments + 3 bearings
+    assert m.remove_item(1)          # drop the added segment
+    assert m.remove_item(3)          # drop the added bearing (now row 3)
+    m.n_modes = 4
+    m.run_analysis(verbose=False)
+    assert len(m.results_text()) == 4
+    assert "critical speed" in m.results_text()[0]
+
+
+def test_plane_model_crud_and_run():
+    from femx.ui.models import PlaneAnalysisModel
+
+    m = PlaneAnalysisModel()
+    m.set_system(0.4, 0.2, 0.05)
+    m.add_force((100.0, 0.0), pos_xy=(0.4, 0.1))
+    m.add_fix(True, False, group="bottom")
+    assert len(m.list_items()) == 5  # system + 2 forces + 2 fixes
+    assert not m.remove_item(0)      # system row not removable
+    assert m.remove_item(2)          # the point force
+    assert m.remove_item(3)          # the bottom fix
+    a = m.run_analysis(verbose=False)
+    assert a.solve_info["method"] == "dense_cholesky"
+    assert np.abs(a.equilibrium_residual()).max() < 1e-6
+
+
+def test_pipe_model_run():
+    from femx.ui.models import PipeThermalModel
+
+    m = PipeThermalModel()
+    assert len(m.list_items()) == 4
+    m.n_r, m.n_z = 8, 4
+    m.run_analysis(verbose=False)
+    txt = m.results_text()
+    assert any("von Mises" in s for s in txt)
+    assert any("bore hoop" in s for s in txt)
