@@ -248,6 +248,21 @@ class PipeThermalAnalysis:
         order = np.argsort(self.points[row, 0])
         return self.points[row[order], 0], np.asarray(field)[row[order]]
 
+    def plot(self, filename: str = "pipe_result.png") -> str:
+        """Wall von Mises contour + mid-height radial stress profiles."""
+        from femx.viz import save_pipe_results_plot
+
+        if self.u is None:
+            raise RuntimeError("Run the analysis first.")
+        return save_pipe_results_plot(self, filename)
+
+    def generate_report(self, filename: str = "pipe_report.md") -> str:
+        from femx.report import pipe_report
+
+        if self.u is None:
+            raise RuntimeError("Run the analysis first.")
+        return pipe_report(self, filename)
+
     def run_simulation(self):
         self.assemble()
         self.apply_boundary_conditions()

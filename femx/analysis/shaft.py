@@ -225,3 +225,16 @@ class ShaftModalAnalysis:
     def lateral_frequencies_hz(self) -> np.ndarray:
         return np.array([m.frequency_hz for m in self.modes
                          if m.family == "lateral"])
+
+    def plot_mode(self, mode_num: int = 1,
+                  filename: str = "shaft_mode.png") -> str:
+        from femx.viz import save_shaft_mode_plot
+
+        return save_shaft_mode_plot(self, mode_num, filename)
+
+    def generate_report(self, filename: str = "shaft_report.md") -> str:
+        from femx.report import shaft_report
+
+        if not self.modes:
+            raise RuntimeError("Run the analysis first.")
+        return shaft_report(self, filename)

@@ -184,6 +184,11 @@ def build_parser() -> argparse.ArgumentParser:
     sh.add_argument("--free-torsion", action="store_true",
                     help="leave the torsional branch free-free (spinning "
                          "shaft) instead of locking r_x at the thrust bearing")
+    sh.add_argument("--report", default=None, help="write .md/.docx report")
+    sh.add_argument("--plot-mode", type=int, default=0, metavar="K",
+                    help="save mode-shape PNG for mode K")
+    sh.add_argument("--plot", default="shaft_mode.png",
+                    help="PNG path for --plot-mode")
     sh.add_argument("--json", action="store_true")
 
     pl = sub.add_parser("plane", help="2D plane stress/strain static analysis")
@@ -205,6 +210,11 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="FX,FY@X,Y", help="point force")
     pl.add_argument("--fix", action="append", default=[],
                     metavar="X,Y[:AXES]", help="point fix")
+    pl.add_argument("--report", default=None, help="write .md/.docx report")
+    pl.add_argument("--plot", default=None, help="save deformed contour PNG")
+    pl.add_argument("--plot-field",
+                    choices=["von_mises", "disp", "sxx", "syy", "sxy"],
+                    default="von_mises")
     pl.add_argument("--json", action="store_true")
 
     pi = sub.add_parser("pipe", help="pipe thermal + pressure stress "
@@ -227,6 +237,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="plane_strain")
     pi.add_argument("--nr", type=int, default=24)
     pi.add_argument("--nz", type=int, default=12)
+    pi.add_argument("--report", default=None, help="write .md/.docx report")
+    pi.add_argument("--plot", default=None,
+                    help="save wall-contour + radial-profile PNG")
     pi.add_argument("--json", action="store_true")
 
     return ap
@@ -375,6 +388,11 @@ def main(argv=None) -> int:
                           for m in modes],
                 "critical_speeds_rpm": list(sm.critical_speeds_rpm),
             }))
+        if args.report:
+            print(f"Report written to {sm.generate_report(args.report)}")
+        if args.plot_mode:
+            print(f"Saved mode {args.plot_mode} shape to "
+                  f"{sm.plot_mode(args.plot_mode, args.plot)}")
         return 0
 
     if args.cmd == "plane":
@@ -430,6 +448,11 @@ def main(argv=None) -> int:
             x, y = (float(v) for v in pa.points[imax, :2])
             print(f"Max von Mises stress: {vm[imax] / 1e6:.4f} MPa at node "
                   f"{imax} ({x:g}, {y:g})")
+        if args.report:
+            print(f"Report written to {pa.generate_report(args.report)}")
+        if args.plot:
+            pa.plot(args.plot, field=args.plot_field)
+            print(f"Saved result view to {args.plot}")
         return 0
 
     if args.cmd == "pipe":
@@ -455,6 +478,11 @@ def main(argv=None) -> int:
                 "hoop_profile_mpa": [float(v / 1e6) for v in s_tt],
                 "solve_info": pa.solve_info,
             }))
+        if args.report:
+            print(f"Report written to {pa.generate_report(args.report)}")
+        if args.plot:
+            pa.plot(args.plot)
+            print(f"Saved result view to {args.plot}")
         return 0
 
     if args.cmd == "section":

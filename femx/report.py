@@ -288,3 +288,198 @@ def _markdown_ish_to_docx(text: str, filename: str) -> None:
             doc.add_paragraph(line)
     flush_table()
     doc.save(filename)
+
+
+def plane_report(analysis, filename: str = "plane_report.md",
+                 image: bool = True) -> str:
+    """2D static analysis report (same layout family as solid_report; the
+    reference has no 2D product to mirror — FEM_main.py:412-431 placeholder)."""
+    lines: List[str] = []
+    lines.append("# 2D Static Analysis Report\n")
+    if image:
+        img_path = os.path.splitext(filename)[0] + "_von_mises.png"
+        try:
+            from femx.viz import save_plane_results_plot
+
+            save_plane_results_plot(analysis, img_path)
+            lines.append("## Results Overview\n")
+            lines.append("Deformed shape colored by von Mises stress.\n")
+            lines.append(f"![results]({os.path.basename(img_path)})\n")
+        except Exception as e:
+            lines.append(f"_Could not generate result image: {e}_\n")
+
+    lines.append("## Analysis Parameters\n")
+    lines.append(f"- **Young's Modulus (E):** {analysis.E:.2e} Pa")
+    lines.append(f"- **Poisson's Ratio (v):** {analysis.v}")
+    lines.append(f"- **Thickness (t):** {analysis.thickness} m")
+    lines.append(f"- **Formulation:** plane {analysis.mode}\n")
+
+    lines.append("## Mesh Information\n")
+    lines.append(f"- **Total Nodes:** {analysis.num_nodes}")
+    lines.append("- **Element Type:** 6-Node Quadratic Triangle (Tri6)")
+    lines.append(f"- **Total Elements:** {len(analysis.conn)}\n")
+
+    lines.append("## Boundary Conditions\n")
+    for i, item in enumerate(analysis.applied_forces_info):
+        where = (f"edge group '{item['group']}' ({item['nodes']} nodes)"
+                 if "group" in item else
+                 f"node {item['node_idx']} at "
+                 f"({item['pos'][0]:.4g}, {item['pos'][1]:.4g})")
+        vec = item["force_vec"]
+        lines.append(f"- **Load {i + 1}:** ({vec[0]:g}, {vec[1]:g}) N on {where}")
+    lines.append(f"- **Fixed DOFs:** {len(analysis.fixed_dofs)}\n")
+
+    lines.append("## Equilibrium Check\n")
+    res = analysis.equilibrium_residual()
+    lines.append(f"- Sum of applied + reaction forces: "
+                 f"({res[0]:.3e}, {res[1]:.3e}) N\n")
+
+    vm = getattr(analysis, "von_mises", None)
+    if vm is None:
+        _, vm = analysis.compute_stresses()
+    imax = int(np.argmax(vm))
+    p = analysis.points[imax]
+    lines.append("## Stress Results (von Mises, nodal recovery)\n")
+    lines.append(f"- **Max von Mises stress:** {vm[imax] / 1e6:.4f} MPa at "
+                 f"node {imax} ({p[0]:.4g}, {p[1]:.4g})")
+    lines.append(f"- **Max displacement:** "
+                 f"{np.abs(analysis.u.reshape(-1, 2)).max():.4e} m\n")
+
+    if getattr(analysis, "solve_info", None):
+        lines.append("## Solver\n")
+        for k, v in analysis.solve_info.items():
+            lines.append(f"- **{k}:** {v}")
+
+    text = "\n".join(lines) + "\n"
+    if filename.endswith(".docx"):
+        _markdown_ish_to_docx(text, filename)
+    else:
+        with open(filename, "w") as f:
+            f.write(text)
+    return filename
+
+
+def pipe_report(analysis, filename: str = "pipe_report.md",
+                image: bool = True) -> str:
+    """Pipe thermal-stress report: parameters, wall contour + radial stress
+    profiles, bore/outer design numbers."""
+    lines: List[str] = []
+    lines.append("# Pipe Thermal Stress Analysis Report\n")
+    if image:
+        img_path = os.path.splitext(filename)[0] + "_stresses.png"
+        try:
+            from femx.viz import save_pipe_results_plot
+
+            save_pipe_results_plot(analysis, img_path)
+            lines.append("## Results Overview\n")
+            lines.append(f"![results]({os.path.basename(img_path)})\n")
+        except Exception as e:
+            lines.append(f"_Could not generate result image: {e}_\n")
+
+    lines.append("## Pipe and Load Parameters\n")
+    lines.append(f"- **Geometry:** r_inner {analysis.r_inner} m, r_outer "
+                 f"{analysis.r_outer} m, length {analysis.length} m")
+    lines.append(f"- **Material:** E = {analysis.E:.2e} Pa, v = {analysis.v}, "
+                 f"alpha = {analysis.alpha:.3g} 1/K")
+    lines.append(f"- **Wall temperature rise:** {analysis.T_inner} K (inner) "
+                 f"-> {analysis.T_outer} K (outer), log radial profile")
+    lines.append(f"- **Pressure:** {analysis.pressure_inner:.4g} Pa (inner), "
+                 f"{analysis.pressure_outer:.4g} Pa (outer)")
+    lines.append(f"- **End condition:** {analysis.end_condition}\n")
+
+    lines.append("## Mesh Information\n")
+    lines.append(f"- **Total Nodes:** {analysis.num_nodes} "
+                 "(axisymmetric Tri6 wall section)")
+    lines.append(f"- **Total Elements:** {len(analysis.conn)}\n")
+
+    radii, s_rr = analysis.radial_profile(analysis.stress_nodes[:, 0])
+    _, s_zz = analysis.radial_profile(analysis.stress_nodes[:, 1])
+    _, s_tt = analysis.radial_profile(analysis.stress_nodes[:, 2])
+    _, vm_r = analysis.radial_profile(analysis.von_mises)
+    lines.append("## Stress Results\n")
+    imax = int(np.argmax(analysis.von_mises))
+    p = analysis.points[imax]
+    lines.append(f"- **Max von Mises stress:** "
+                 f"{analysis.von_mises[imax] / 1e6:.4f} MPa at "
+                 f"r = {p[0]:.4g} m, z = {p[1]:.4g} m")
+    lines.append(f"- **Max radial displacement:** "
+                 f"{np.abs(analysis.u[0::2]).max():.4e} m\n")
+    lines.append("| Surface | sigma_rr (MPa) | sigma_theta (MPa) | "
+                 "sigma_zz (MPa) | von Mises (MPa) |")
+    lines.append("|---|---|---|---|---|")
+    for name, j in (("Bore (inner)", 0), ("Outer", -1)):
+        lines.append(f"| {name} | {s_rr[j] / 1e6:.3f} | {s_tt[j] / 1e6:.3f} "
+                     f"| {s_zz[j] / 1e6:.3f} | {vm_r[j] / 1e6:.3f} |")
+
+    if getattr(analysis, "solve_info", None):
+        lines.append("\n## Solver\n")
+        for k, v in analysis.solve_info.items():
+            lines.append(f"- **{k}:** {v}")
+
+    text = "\n".join(lines) + "\n"
+    if filename.endswith(".docx"):
+        _markdown_ish_to_docx(text, filename)
+    else:
+        with open(filename, "w") as f:
+            f.write(text)
+    return filename
+
+
+def shaft_report(shaft, filename: str = "shaft_report.md",
+                 image: bool = True, n_mode_images: int = 3) -> str:
+    """Shaft modal report: geometry, bearing layout, modal table with
+    critical speeds, first lateral mode-shape images."""
+    lines: List[str] = []
+    lines.append("# Shaft Modal Analysis Report\n")
+
+    lines.append("## Shaft Geometry\n")
+    x = 0.0
+    for i, s in enumerate(shaft.segments):
+        di = s.get("d_inner", 0.0)
+        hollow = f", d_inner = {di} m" if di else " (solid)"
+        lines.append(f"- **Segment {i + 1}:** x = [{x:g}, "
+                     f"{x + s['length']:g}] m, d = {s['d']} m{hollow}")
+        x += s["length"]
+    for i, b in enumerate(shaft.bearings):
+        kind = " (thrust)" if i == shaft.thrust_bearing else ""
+        lines.append(f"- **Bearing {i + 1}:** x = {b:g} m, pinned{kind}")
+    lines.append(f"- **Material:** E = {shaft.E:.2e} Pa, nu = {shaft.nu}, "
+                 f"rho = {shaft.rho} kg/m^3")
+    lines.append(f"- **Mesh:** {len(shaft.mesh.points)} nodes, "
+                 f"{len(shaft.mesh.cells['line'])} Timoshenko elements, "
+                 f"{shaft.mass} mass\n")
+
+    lines.append("## Modal Results\n")
+    lines.append("| Mode | Frequency (Hz) | Family | Critical speed (RPM) |")
+    lines.append("|---|---|---|---|")
+    for i, m in enumerate(shaft.modes):
+        rpm = (f"{m.critical_speed_rpm:.1f}"
+               if m.critical_speed_rpm is not None else "-")
+        lines.append(f"| {i + 1} | {m.frequency_hz:.4f} | {m.family} | {rpm} |")
+    crits = shaft.critical_speeds_rpm
+    if len(crits):
+        lines.append(f"\n- **First critical speed:** {crits[0]:.1f} RPM "
+                     f"({crits[0] / 60:.3f} Hz)")
+
+    if image and shaft.modes:
+        lines.append("\n## Mode Shapes\n")
+        lat_idx = [i for i, m in enumerate(shaft.modes)
+                   if m.family == "lateral"]
+        for k, i in enumerate(lat_idx[:n_mode_images]):
+            img_path = (os.path.splitext(filename)[0]
+                        + f"_mode{i + 1}.png")
+            try:
+                from femx.viz import save_shaft_mode_plot
+
+                save_shaft_mode_plot(shaft, i + 1, img_path)
+                lines.append(f"![mode {i + 1}]({os.path.basename(img_path)})\n")
+            except Exception as e:
+                lines.append(f"_Could not generate mode image: {e}_\n")
+
+    text = "\n".join(lines) + "\n"
+    if filename.endswith(".docx"):
+        _markdown_ish_to_docx(text, filename)
+    else:
+        with open(filename, "w") as f:
+            f.write(text)
+    return filename

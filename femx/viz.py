@@ -205,3 +205,156 @@ def plot_solid_results(
         fig.savefig(filename, dpi=120)
         plt.close(fig)
     return filename
+
+
+# ---------------------------------------------------------------------------
+# 2D product plots (plane / pipe) + shaft mode shapes
+# ---------------------------------------------------------------------------
+def _tri6_subtriangles(conn6: np.ndarray) -> np.ndarray:
+    """Split each Tri6 into its 4 corner/midside sub-triangles so a linear
+    tricontour carries the quadratic field's midside values, (4E, 3)."""
+    c = np.asarray(conn6)
+    return np.concatenate([
+        c[:, [0, 3, 5]], c[:, [3, 1, 4]], c[:, [5, 4, 2]], c[:, [3, 4, 5]],
+    ])
+
+
+def field_contour_figure(points2d, conn6, values, title="", xlabel="x (m)",
+                         ylabel="y (m)", cbar_label="", warp=None,
+                         warp_scale=1.0):
+    """Filled-contour Figure of a nodal field on a Tri6 mesh.
+
+    warp: optional (N, 2) nodal displacement to deform the geometry by
+    (plotted positions = points2d + warp_scale * warp), with the undeformed
+    boundary drawn as a light outline."""
+    import matplotlib.tri as mtri
+
+    pts = np.asarray(points2d, dtype=np.float64)[:, :2]
+    tris = _tri6_subtriangles(conn6)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    shown = pts if warp is None else pts + warp_scale * np.asarray(warp)
+    tr = mtri.Triangulation(shown[:, 0], shown[:, 1], tris)
+    tc = ax.tricontourf(tr, np.asarray(values), levels=24, cmap="jet")
+    if warp is not None:
+        tr0 = mtri.Triangulation(pts[:, 0], pts[:, 1], tris)
+        ax.triplot(tr0, color="k", lw=0.2, alpha=0.25)
+    fig.colorbar(tc, ax=ax, label=cbar_label)
+    ax.set_title(title, fontsize=10)
+    ax.set_xlabel(xlabel, fontsize=8)
+    ax.set_ylabel(ylabel, fontsize=8)
+    ax.set_aspect("equal")
+    fig.tight_layout()
+    return fig
+
+
+def plane_results_figure(analysis, field: str = "von_mises",
+                         warp_scale=None):
+    """Deformed-shape contour for PlaneAnalysis (field: 'von_mises',
+    'disp', 'sxx', 'syy', 'sxy'). Warp auto-scales to ~5% of the plate
+    diagonal unless given."""
+    u = analysis.u.reshape(-1, 2)
+    if field == "disp":
+        vals = np.linalg.norm(u, axis=1)
+        label, title = "|u| (m)", "Displacement magnitude"
+    else:
+        if getattr(analysis, "stress_nodes", None) is None:
+            analysis.compute_stresses()
+        idx = {"sxx": 0, "syy": 1, "sxy": 2}.get(field)
+        if idx is None:
+            vals = analysis.von_mises
+            label, title = "von Mises (Pa)", "Von Mises stress"
+        else:
+            vals = analysis.stress_nodes[:, idx]
+            label = f"sigma_{field[1:]} (Pa)"
+            title = f"Stress {field}"
+    if warp_scale is None:
+        diag = float(np.linalg.norm(analysis.points[:, :2].max(0)
+                                    - analysis.points[:, :2].min(0)))
+        umax = float(np.abs(u).max())
+        warp_scale = 0.05 * diag / umax if umax > 0 else 1.0
+    return field_contour_figure(
+        analysis.points, analysis.conn, vals,
+        title=f"2D Static Analysis — {title} (warp x{warp_scale:.3g})",
+        cbar_label=label, warp=u, warp_scale=warp_scale)
+
+
+def save_plane_results_plot(analysis, filename: str,
+                            field: str = "von_mises", warp_scale=None):
+    fig = plane_results_figure(analysis, field=field, warp_scale=warp_scale)
+    fig.savefig(filename, dpi=120)
+    plt.close(fig)
+    return filename
+
+
+def pipe_results_figure(analysis):
+    """Two panels: von Mises contour on the (r, z) wall section + the
+    mid-height radial profiles of all four stress components."""
+    fig, (ax1, ax2) = plt.subplots(
+        1, 2, figsize=(11, 5), gridspec_kw={"width_ratios": [1, 1.4]})
+    import matplotlib.tri as mtri
+
+    pts = analysis.points[:, :2]
+    tr = mtri.Triangulation(pts[:, 0], pts[:, 1],
+                            _tri6_subtriangles(analysis.conn))
+    tc = ax1.tricontourf(tr, analysis.von_mises / 1e6, levels=24, cmap="jet")
+    fig.colorbar(tc, ax=ax1, label="von Mises (MPa)")
+    ax1.set_xlabel("r (m)", fontsize=8)
+    ax1.set_ylabel("z (m)", fontsize=8)
+    ax1.set_title("Wall section (axisymmetric)", fontsize=10)
+
+    names = ["sigma_rr", "sigma_zz", "sigma_theta", "sigma_rz"]
+    for k, name in enumerate(names):
+        radii, vals = analysis.radial_profile(analysis.stress_nodes[:, k])
+        ax2.plot(radii, vals / 1e6, marker=".", ms=3, label=name)
+    ax2.axhline(0.0, color="k", lw=0.5)
+    ax2.set_xlabel("r (m)", fontsize=8)
+    ax2.set_ylabel("stress (MPa)", fontsize=8)
+    ax2.set_title("Mid-height radial stress profiles", fontsize=10)
+    ax2.legend(fontsize=8)
+    ax2.grid(alpha=0.3)
+    fig.tight_layout()
+    return fig
+
+
+def save_pipe_results_plot(analysis, filename: str):
+    fig = pipe_results_figure(analysis)
+    fig.savefig(filename, dpi=120)
+    plt.close(fig)
+    return filename
+
+
+def shaft_mode_figure(shaft, mode_num: int = 1):
+    """Lateral mode shape of a ShaftModalAnalysis along the shaft axis
+    (normalized u_y/u_z deflections) with bearing markers."""
+    if not shaft.modes:
+        raise RuntimeError("Run the shaft analysis first.")
+    m = shaft.modes[mode_num - 1]
+    x = shaft.mesh.points[:, 0]
+    order = np.argsort(x)
+    s = m.shape.reshape(-1, 6)
+    peak = np.abs(s[:, 1:3]).max()
+    s = s / peak if peak > 0 else s
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(x[order], s[order, 1], "b.-", ms=4, lw=1.2, label="u_y")
+    ax.plot(x[order], s[order, 2], "g.-", ms=4, lw=1.2, label="u_z")
+    ax.axhline(0.0, color="k", lw=0.6)
+    for b in shaft.bearings:
+        ax.axvline(b, color="r", ls=":", lw=1.0)
+        ax.plot([b], [0.0], "r^", ms=9, clip_on=False)
+    rpm = (f", critical speed {m.critical_speed_rpm:.0f} RPM"
+           if m.critical_speed_rpm is not None else "")
+    ax.set_title(f"Shaft mode {mode_num}: {m.frequency_hz:.2f} Hz "
+                 f"[{m.family}]{rpm}", fontsize=10)
+    ax.set_xlabel("x (m)", fontsize=8)
+    ax.set_ylabel("normalized deflection", fontsize=8)
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    return fig
+
+
+def save_shaft_mode_plot(shaft, mode_num: int, filename: str):
+    fig = shaft_mode_figure(shaft, mode_num)
+    fig.savefig(filename, dpi=120)
+    plt.close(fig)
+    return filename

@@ -72,6 +72,13 @@ _SLOW_TESTS = (
     "test_multigrid.py::test_mg_pytree_argument_equals_closure",
     "test_multigrid.py::test_proxy_lambda_max_matches_direct",
     "test_pallas.py::test_pallas_apply_matches_xla",
+    "test_pipe_thermal.py::test_free_end_axial_equilibrium_and_relief",
+    "test_pipe_thermal.py::test_pcg_path_and_input_validation",
+    "test_product_reports.py::test_cli_plot_report_flags",
+    "test_shaft_modal.py::test_free_torsion_drops_rigid_mode",
+    "test_shaft_modal.py::test_hollow_raises_lateral_frequencies",
+    "test_shaft_modal.py::test_mid_bearing_quadruples_first_critical",
+    "test_shaft_modal.py::test_stepped_shaft_and_bearing_nodes",
     "test_parallel.py::test_distributed_cg_solution_matches",
     "test_parallel.py::test_dof_sharded_apply_matches",
     "test_parallel_modal.py::test_distributed_modal_matches_single_device",
