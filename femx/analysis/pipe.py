@@ -32,23 +32,13 @@ import time
 from typing import List, Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from femx.assembly_plane import AxisymOperator
 from femx.elements import tri6 as tri6_el
 from femx.mesh.core import nodes_in_physical_group
 from femx.mesh.generators2d import rect_tri6_from_cells
-from femx.solve.cg import pcg
 from femx.solve.dense import solve_dense
-
-
-@jax.jit
-def _jit_pcg_bj_axi(fv, op_, tol, maxiter):
-    pre = op_.block_jacobi_preconditioner()
-    r = pcg(op_.apply_constrained, fv, M_inv_diag=pre, tol=tol,
-            maxiter=maxiter)
-    return r.x, r.iterations, r.residual_norm
 
 
 def log_temperature_profile(r, r_i, r_o, T_i, T_o):
@@ -202,13 +192,11 @@ class PipeThermalAnalysis:
             u = solve_dense(K, fv, free_mask=jnp.asarray(mask))
             self.solve_info = {"method": "dense_cholesky", "ndof": self.ndof}
         else:
-            u, iters, rn = _jit_pcg_bj_axi(fv, self.operator, self.cg_tol,
-                                           20000)
-            self.solve_info = {
-                "method": "block_jacobi_pcg", "ndof": self.ndof,
-                "iterations": int(iters), "residual_norm": float(rn),
-                "converged": bool(float(rn) <= self.cg_tol * 10),
-            }
+            from femx.analysis.plane import solve_2d
+
+            u, self.solve_info = solve_2d(
+                self.operator, self.mesh, self.C, mask, fv, self.cg_tol,
+                kind="axisym", log=self._log)
         self.u = np.asarray(u, dtype=np.float64)
         self.stage_times["solve"] = time.perf_counter() - t0
         self._log("   - System solved.")

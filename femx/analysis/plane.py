@@ -47,6 +47,47 @@ def _jit_pcg_bj(fv, op_, tol, maxiter):
 
 
 @jax.jit
+def _jit_pcg_mg2d(fv, mg, tol, maxiter):
+    # mg rides as a pytree ARGUMENT (closure constants bloat compile payloads)
+    r = pcg(mg.fine_op.apply_constrained, fv, M_inv_diag=mg, tol=tol,
+            maxiter=maxiter)
+    return r.x, r.iterations, r.residual_norm
+
+
+def solve_2d(operator, mesh, C, mask, fv, cg_tol, *, kind, thickness=1.0,
+             log=lambda msg: None):
+    """Iterative-solve routing shared by the 2D products: geometric MG-PCG
+    when the mesh is a rect_tri6 lattice (mesh-size-independent iterations,
+    femx.solve.multigrid2d), block-Jacobi PCG otherwise.
+
+    Returns (u, solve_info)."""
+    lat = getattr(mesh, "lattice2d", None)
+    if lat is not None:
+        from femx.solve.multigrid2d import Multigrid2D
+
+        try:
+            mg = Multigrid2D(kind, lat["n_cells"], lat["spacing"],
+                             lat["origin"], C, mask, thickness=thickness,
+                             fine_op=operator, dtype=fv.dtype)
+        except ValueError as e:
+            log(f"   - 2D multigrid unavailable ({e}); block-Jacobi PCG.")
+        else:
+            u, iters, rn = _jit_pcg_mg2d(fv, mg, cg_tol, 2000)
+            return u, {
+                "method": "mg_pcg_2d", "ndof": int(fv.shape[0]),
+                "mg_levels": mg.level_shapes(),
+                "iterations": int(iters), "residual_norm": float(rn),
+                "converged": bool(float(rn) <= cg_tol * 10),
+            }
+    u, iters, rn = _jit_pcg_bj(fv, operator, cg_tol, 20000)
+    return u, {
+        "method": "block_jacobi_pcg", "ndof": int(fv.shape[0]),
+        "iterations": int(iters), "residual_norm": float(rn),
+        "converged": bool(float(rn) <= cg_tol * 10),
+    }
+
+
+@jax.jit
 def _jit_apply(v, op_):
     return op_.apply(v)
 
@@ -231,12 +272,9 @@ class PlaneAnalysis:
             u = solve_dense(K, fv, free_mask=jnp.asarray(mask))
             self.solve_info = {"method": "dense_cholesky", "ndof": self.ndof}
         else:
-            u, iters, rn = _jit_pcg_bj(fv, self.operator, self.cg_tol, 20000)
-            self.solve_info = {
-                "method": "block_jacobi_pcg", "ndof": self.ndof,
-                "iterations": int(iters), "residual_norm": float(rn),
-                "converged": bool(float(rn) <= self.cg_tol * 10),
-            }
+            u, self.solve_info = solve_2d(
+                self.operator, self.mesh, self.C, mask, fv, self.cg_tol,
+                kind="plane", thickness=self.thickness, log=self._log)
         self.u = np.asarray(u, dtype=np.float64)
         self.reaction_forces = np.asarray(_jit_apply(jnp.asarray(u), self.operator),
                                           dtype=np.float64)

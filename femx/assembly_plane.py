@@ -96,12 +96,17 @@ class PlaneOperator:
         return jnp.zeros((self.n_nodes, 2, 2), dtype=bke.dtype).at[
             self.conn].add(bke)
 
-    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    def block_jacobi_inverse_blocks(self) -> jnp.ndarray:
+        """Masked nodal 2x2 block inverses, (n_nodes, 2, 2)."""
         blocks = self.block_diagonal()
         s = self.free_mask.reshape(self.n_nodes, 2)
         blocks = blocks * s[:, :, None] * s[:, None, :]
         blocks = blocks + (1.0 - s)[:, :, None] * jnp.eye(2, dtype=blocks.dtype)
         binv, _ = tri6_el._inv2x2(blocks)
+        return binv
+
+    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        binv = self.block_jacobi_inverse_blocks()
 
         def apply_minv(r):
             rn = r.reshape(self.n_nodes, 2)
@@ -182,9 +187,10 @@ class AxisymOperator:
         s = self.free_mask
         return self.apply(u * s) * s + u * (1.0 - s)
 
-    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
-        """Nodal 2x2 blocks assembled from element matrices (E is modest in
-        axisymmetric models; the (E, 12, 12) batch is affordable here)."""
+    def block_jacobi_inverse_blocks(self) -> jnp.ndarray:
+        """Masked nodal 2x2 block inverses assembled from element matrices
+        (E is modest in axisymmetric models; the (E, 12, 12) batch is
+        affordable here), (n_nodes, 2, 2)."""
         kee = self._element_stiffness().reshape(-1, 6, 2, 6, 2)
         # per-element nodal blocks ke[(n,c),(n,d)], gathered along the
         # shared node axis
@@ -196,6 +202,10 @@ class AxisymOperator:
         blocks = diag_blocks * s[:, :, None] * s[:, None, :]
         blocks = blocks + (1.0 - s)[:, :, None] * jnp.eye(2, dtype=blocks.dtype)
         binv, _ = tri6_el._inv2x2(blocks)
+        return binv
+
+    def block_jacobi_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        binv = self.block_jacobi_inverse_blocks()
 
         def apply_minv(r):
             rn = r.reshape(self.n_nodes, 2)

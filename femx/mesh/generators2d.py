@@ -176,5 +176,10 @@ def rect_tri6_from_cells(
     mesh = Mesh(points=all_points, cells=cells, cell_physical=phys,
                 field_data=field_data)
     mesh.bc_embed_info = bc_embed_info
+    # lattice provenance: node ids form the full regular (2nx+1, 2ny+1)
+    # half-step grid (nid = p * Py + q) — the 2D geometric-multigrid
+    # preconditioner (femx.solve.multigrid2d) keys off this
+    mesh.lattice2d = {"n_cells": (nx, ny), "spacing": (float(h[0]), float(h[1])),
+                      "origin": (ox, oy)}
     mesh.validate()
     return mesh

@@ -146,8 +146,11 @@ def test_pcg_path_and_input_validation():
                              n_r=16, n_z=96, verbose=False)
     assert pa.ndof > pa.DENSE_DOF_LIMIT
     pa.run_simulation()
-    assert pa.solve_info["method"] == "block_jacobi_pcg"
+    # rect lattices route through the 2D geometric multigrid
+    assert pa.solve_info["method"] == "mg_pcg_2d"
     assert pa.solve_info["converged"]
+    assert pa.solve_info["iterations"] < 60
+    assert len(pa.solve_info["mg_levels"]) >= 2
     with pytest.raises(ValueError, match="r_inner"):
         PipeThermalAnalysis(0.1, 0.05, 1.0, 1e9, 0.3, 1e-5)
     with pytest.raises(ValueError, match="end_condition"):

@@ -87,24 +87,38 @@ def test_cantilever_vs_timoshenko_beam():
 
 
 def test_pcg_path_matches_exact_solution():
-    """Above DENSE_DOF_LIMIT the pipeline takes block-Jacobi PCG; the
-    uniaxial exact solution must still come back (and solve_info says so)."""
+    """Above DENSE_DOF_LIMIT the pipeline takes MG-PCG on lattice meshes
+    and block-Jacobi PCG on arbitrary ones; the uniaxial exact solution
+    must come back either way (and solve_info says which)."""
     L, H, t, E, v, P = 1.0, 1.0, 0.02, 10e9, 0.2, 400.0
+
+    def run(mesh):
+        return PlaneAnalysis(
+            mesh,
+            [{"group": "right", "force_x": P, "force_y": 0.0}],
+            [{"group": "left", "fix_x": 0},
+             {"pos_x": 0.0, "pos_y": 0.0, "fix_y": 0}],
+            E=E, v=v, thickness=t, mode="stress", verbose=False,
+            cg_tol=1e-12,
+        ).run_simulation()
+
     mesh = rect_tri6(L, H, 1.0 / 40)  # 81x81 nodes -> 13122 DOF
-    pa = PlaneAnalysis(
-        mesh,
-        [{"group": "right", "force_x": P, "force_y": 0.0}],
-        [{"group": "left", "fix_x": 0},
-         {"pos_x": 0.0, "pos_y": 0.0, "fix_y": 0}],
-        E=E, v=v, thickness=t, mode="stress", verbose=False, cg_tol=1e-12,
-    ).run_simulation()
+    sigma = P / (t * H)
+    pa = run(mesh)
+    assert pa.solve_info["method"] == "mg_pcg_2d"
+    assert pa.solve_info["converged"]
+    assert np.allclose(pa.u.reshape(-1, 2)[:, 0],
+                       sigma / E * mesh.points[:, 0], rtol=1e-6, atol=1e-12)
+    assert np.abs(pa.equilibrium_residual()).max() < 1e-6 * P
+
+    # same mesh with the lattice provenance stripped = the arbitrary-.msh
+    # ingest path -> block-Jacobi fallback, same answer
+    del mesh.lattice2d
+    pa = run(mesh)
     assert pa.solve_info["method"] == "block_jacobi_pcg"
     assert pa.solve_info["converged"]
-    sigma = P / (t * H)
-    u = pa.u.reshape(-1, 2)
-    assert np.allclose(u[:, 0], sigma / E * mesh.points[:, 0],
-                       rtol=1e-6, atol=1e-12)
-    assert np.abs(pa.equilibrium_residual()).max() < 1e-6 * P
+    assert np.allclose(pa.u.reshape(-1, 2)[:, 0],
+                       sigma / E * mesh.points[:, 0], rtol=1e-6, atol=1e-12)
 
 
 def test_plane_strain_mode_and_point_load():
