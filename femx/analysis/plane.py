@@ -132,10 +132,17 @@ class PlaneAnalysis:
         v: float,
         thickness: float = 1.0,
         mode: str = "stress",
+        alpha: float = 0.0,
+        temperature=None,
         dtype=None,
         cg_tol: float = 1e-10,
         verbose: bool = True,
     ):
+        """temperature: optional temperature RISE field for thermoelastic
+        loading — a scalar (uniform), an (n_nodes,) array, or a callable
+        f(x, y) -> dT evaluated at the nodes. Requires alpha > 0. Thermal
+        strains use alpha (plane stress) / (1+v) alpha (plane strain) — the
+        formulation-consistent in-plane expansion."""
         self.force_data = list(force_data)
         self.fix_data = list(fix_data)
         self.E = float(E)
@@ -185,6 +192,26 @@ class PlaneAnalysis:
 
         self.C = tri6_el.material_matrix_plane(self.E, self.v, mode=self.mode,
                                                dtype=jnp.dtype(self.dtype))
+
+        self.alpha = float(alpha)
+        if temperature is None:
+            self.dT_nodes = None
+        else:
+            if callable(temperature):
+                dT = np.asarray([temperature(x, y)
+                                 for x, y in self.points[:, :2]])
+            else:
+                dT = np.broadcast_to(
+                    np.asarray(temperature, dtype=np.float64),
+                    (self.num_nodes,)).copy()
+            if self.alpha == 0.0:
+                raise ValueError("temperature loading requires alpha > 0")
+            self.dT_nodes = dT
+
+    @property
+    def _alpha_eff(self) -> float:
+        # plane strain sees the constrained-z in-plane expansion (1+v) alpha
+        return self.alpha * (1.0 + self.v if self.mode == "strain" else 1.0)
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -256,6 +283,19 @@ class PlaneAnalysis:
                 applied.append({"node_idx": n, "pos": self.points[n],
                                 "force_vec": vec})
                 self._log(f"   - Applied force {vec} N to node {n}.")
+        if self.dT_nodes is not None:
+            fe_th = tri6_el.element_thermal_load_plane(
+                jnp.asarray(self.points[:, :2], dtype=self.dtype)[
+                    jnp.asarray(self.conn)],
+                self.C, self._alpha_eff,
+                jnp.asarray(self.dT_nodes[self.conn], dtype=self.dtype),
+                thickness=self.thickness)
+            fn = np.zeros((self.num_nodes, 2))
+            np.add.at(fn, self.conn.reshape(-1),
+                      np.asarray(fe_th, dtype=np.float64).reshape(-1, 2))
+            f += fn.reshape(-1)
+            self._log(f"   - Applied thermal loads (dT range "
+                      f"[{self.dT_nodes.min():g}, {self.dT_nodes.max():g}] K).")
         self.f = f
         self.applied_forces_info = applied
         self.stage_times["bc"] = time.perf_counter() - t0
@@ -322,7 +362,10 @@ class PlaneAnalysis:
         coords = jnp.asarray(self.points[:, :2], dtype=self.dtype)[
             jnp.asarray(self.conn)]
         ue = jnp.asarray(self.u.reshape(-1, 2)[self.conn], dtype=self.dtype)
-        stress = tri6_el.element_stress_at_nodes_plane(coords, self.C, ue)
+        dT = (None if self.dT_nodes is None else
+              jnp.asarray(self.dT_nodes[self.conn], dtype=self.dtype))
+        stress = tri6_el.element_stress_at_nodes_plane(
+            coords, self.C, ue, alpha_eff=self._alpha_eff, dT_nodes=dT)
         acc = np.zeros((self.num_nodes, 3))
         cnt = np.zeros(self.num_nodes)
         np.add.at(acc, self.conn.reshape(-1),

@@ -210,6 +210,11 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="FX,FY@X,Y", help="point force")
     pl.add_argument("--fix", action="append", default=[],
                     metavar="X,Y[:AXES]", help="point fix")
+    pl.add_argument("--alpha", type=float, default=0.0,
+                    help="thermal expansion coefficient [1/K]")
+    pl.add_argument("--dT", type=float, default=None,
+                    help="uniform temperature rise [K] (thermoelastic load; "
+                         "needs --alpha)")
     pl.add_argument("--report", default=None, help="write .md/.docx report")
     pl.add_argument("--plot", default=None, help="save deformed contour PNG")
     pl.add_argument("--plot-field",
@@ -431,6 +436,7 @@ def main(argv=None) -> int:
             return 2
         pa = PlaneAnalysis(mesh, forces, fixes, E=args.E, v=args.nu,
                            thickness=args.thickness, mode=args.mode,
+                           alpha=args.alpha, temperature=args.dT,
                            verbose=not args.json)
         pa.run_simulation()
         _, vm = pa.compute_stresses()

@@ -204,6 +204,29 @@ def element_strain_stress_plane(dN, C, ue):
     return strain, stress
 
 
+def element_thermal_load_plane(coords, C, alpha_eff, dT_nodes, thickness=1.0):
+    """2D thermoelastic load: fe = integral Bt C (alpha_eff dT [1,1,0]) t dA.
+
+    alpha_eff carries the formulation: alpha for plane STRESS, (1+nu)*alpha
+    for plane STRAIN (the in-plane thermal strain a constrained-z body sees;
+    C_2d @ (1+nu) alpha dT [1,1,0] reproduces the exact 3D
+    -E alpha dT/(1-2nu) fully-constrained stress).
+
+    Args:
+      coords: (E, 6, 2); C: (3, 3); dT_nodes: (E, 6) nodal temperature rise.
+    Returns: (E, 6, 2) consistent nodal loads.
+    """
+    dN, wdet, _ = jacobians(coords)
+    n_g = jnp.asarray(N_AT_GAUSS, dtype=coords.dtype)
+    dT_g = jnp.einsum("gn,en->eg", n_g, dT_nodes)  # (E, 3)
+    eps_th = alpha_eff * dT_g[..., None] * jnp.asarray(
+        [1.0, 1.0, 0.0], dtype=coords.dtype)  # (E, 3, 3)
+    stress = jnp.einsum("ab,egb->ega", C, eps_th)
+    sel = jnp.asarray(_SEL2, dtype=coords.dtype)
+    return jnp.einsum("egkn,ack,ega,eg->enc", dN, sel, stress,
+                      thickness * wdet)
+
+
 def _node_gradients(coords):
     """Global shape gradients at the 6 NODE positions, (E, 6, 2, 6).
 
@@ -214,15 +237,21 @@ def _node_gradients(coords):
     return jnp.einsum("egkc,gcn->egkn", Jinv, dn), detJ
 
 
-def element_stress_at_nodes_plane(coords, C, ue):
+def element_stress_at_nodes_plane(coords, C, ue, alpha_eff=0.0,
+                                  dT_nodes=None):
     """Plane stress tensors evaluated AT the element nodes, (E, 6, 3).
 
     Average across the elements sharing each node for a smoothed nodal
-    field (the O(h^2) recovery)."""
+    field (the O(h^2) recovery). With dT_nodes, the mechanical stress
+    C (eps - alpha_eff dT [1,1,0]) is returned (alpha_eff as in
+    element_thermal_load_plane)."""
     dN, _ = _node_gradients(coords)
     sel = jnp.asarray(_SEL2, dtype=ue.dtype)
     grad = jnp.einsum("egkn,enc->egkc", dN, ue)
     strain = jnp.einsum("ack,egkc->ega", sel, grad)
+    if dT_nodes is not None:
+        strain = strain - (alpha_eff * dT_nodes[..., None] * jnp.asarray(
+            [1.0, 1.0, 0.0], dtype=ue.dtype))
     return jnp.einsum("ab,egb->ega", C, strain)
 
 

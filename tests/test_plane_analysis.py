@@ -180,3 +180,58 @@ def test_bad_inputs():
                cell_physical={}, field_data={})
     with pytest.raises(ValueError, match="triangle"):
         PlaneAnalysis(bad, [], [], E=1e9, v=0.3, verbose=False)
+
+
+def test_thermal_free_expansion_is_stress_free():
+    """Uniform dT with minimal (statically determinate) supports: exact
+    linear expansion displacements and ~zero stress everywhere."""
+    E, v, al, dT = 70e9, 0.33, 2.3e-5, 80.0
+    mesh = rect_tri6(0.4, 0.2, 0.05)
+    pa = PlaneAnalysis(
+        mesh, [],
+        [{"pos_x": 0.0, "pos_y": 0.0, "fix_x": 0, "fix_y": 0},
+         {"pos_x": 0.4, "pos_y": 0.0, "fix_y": 0}],
+        E=E, v=v, mode="stress", alpha=al, temperature=dT,
+        verbose=False).run_simulation()
+    s, vm = pa.compute_stresses()
+    scale = E * al * dT
+    assert np.abs(s).max() < 1e-8 * scale
+    u = pa.u.reshape(-1, 2)
+    want = al * dT * (mesh.points[:, :2] - [0.0, 0.0])
+    assert np.allclose(u, want, rtol=1e-8, atol=1e-10 * al * dT)
+
+
+@pytest.mark.parametrize("mode,denominator", [
+    ("strain", lambda v: 1 - 2 * v),  # sigma = -E alpha dT / (1-2v)
+    ("stress", lambda v: 1 - v),      # sigma = -E alpha dT / (1-v)
+])
+def test_thermal_fully_constrained_exact_stress(mode, denominator):
+    """All edges fixed, uniform dT: the classical constrained thermal
+    stress, exact in both plane formulations."""
+    E, v, al, dT = 200e9, 0.3, 1.2e-5, 100.0
+    mesh = rect_tri6(0.3, 0.3, 0.05)
+    pa = PlaneAnalysis(
+        mesh, [],
+        [{"group": g, "fix_x": 0, "fix_y": 0}
+         for g in ("left", "right", "bottom", "top")],
+        E=E, v=v, mode=mode, alpha=al, temperature=dT,
+        verbose=False).run_simulation()
+    s, _ = pa.compute_stresses()
+    want = -E * al * dT / denominator(v)
+    assert np.abs(pa.u).max() < 1e-12
+    assert s[:, 0] == pytest.approx(want, rel=1e-9)
+    assert s[:, 1] == pytest.approx(want, rel=1e-9)
+    assert np.abs(s[:, 2]).max() < 1e-6 * abs(want)
+
+
+def test_thermal_callable_field_and_validation():
+    mesh = rect_tri6(0.2, 0.1, 0.05)
+    pa = PlaneAnalysis(mesh, [], [{"group": "left", "fix_x": 0, "fix_y": 0}],
+                       E=1e9, v=0.3, alpha=1e-5,
+                       temperature=lambda x, y: 100.0 * x,
+                       verbose=False)
+    assert pa.dT_nodes is not None
+    assert pa.dT_nodes.max() == pytest.approx(100.0 * 0.2)
+    with pytest.raises(ValueError, match="alpha"):
+        PlaneAnalysis(mesh, [], [], E=1e9, v=0.3, temperature=50.0,
+                      verbose=False)
