@@ -64,6 +64,8 @@ class PipeThermalAnalysis:
         T_outer: float = 0.0,
         pressure_inner: float = 0.0,
         pressure_outer: float = 0.0,
+        rho: float = 0.0,
+        spin_rpm: float = 0.0,
         end_condition: str = "plane_strain",
         n_r: int = 16,
         n_z: int = 8,
@@ -87,6 +89,10 @@ class PipeThermalAnalysis:
         self.T_outer = float(T_outer)
         self.pressure_inner = float(pressure_inner)
         self.pressure_outer = float(pressure_outer)
+        self.rho = float(rho)
+        self.spin_rpm = float(spin_rpm)
+        if self.spin_rpm and self.rho <= 0.0:
+            raise ValueError("spin_rpm loading requires rho > 0")
         self.end_condition = end_condition
         self.dtype = dtype or np.float64
         self.cg_tol = cg_tol
@@ -164,6 +170,15 @@ class PipeThermalAnalysis:
         f = np.zeros((self.num_nodes, 2))
         np.add.at(f, self.conn.reshape(-1),
                   np.asarray(fe_th, dtype=np.float64).reshape(-1, 2))
+        if self.spin_rpm:
+            omega = self.spin_rpm * 2.0 * np.pi / 60.0
+            fe_cf = tri6_el.element_centrifugal_load_axisym(
+                jnp.asarray(self.points[:, :2], dtype=self.dtype)[
+                    jnp.asarray(self.conn)],
+                self.rho * omega * omega)
+            np.add.at(f, self.conn.reshape(-1),
+                      np.asarray(fe_cf, dtype=np.float64).reshape(-1, 2))
+            self._log(f"   - Applied centrifugal load ({self.spin_rpm:g} RPM).")
         self.f = f.reshape(-1) + self._edge_pressure_loads()
         self.stage_times["assemble"] = time.perf_counter() - t0
         self._log("   - Assembly complete.")

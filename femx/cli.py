@@ -238,6 +238,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="internal pressure [Pa]")
     pi.add_argument("--po", type=float, default=0.0, dest="p_outer",
                     help="external pressure [Pa]")
+    pi.add_argument("--rho", type=float, default=0.0,
+                    help="density [kg/m^3] (needed for --rpm)")
+    pi.add_argument("--rpm", type=float, default=0.0,
+                    help="spin speed [RPM] -> centrifugal body load")
     pi.add_argument("--end", choices=["plane_strain", "free"],
                     default="plane_strain")
     pi.add_argument("--nr", type=int, default=24)
@@ -470,6 +474,7 @@ def main(argv=None) -> int:
             args.ri, args.ro, length=args.length, E=args.E, v=args.nu,
             alpha=args.alpha, T_inner=args.Ti, T_outer=args.To,
             pressure_inner=args.p_inner, pressure_outer=args.p_outer,
+            rho=args.rho, spin_rpm=args.rpm,
             end_condition=args.end, n_r=args.nr, n_z=args.nz,
             verbose=not args.json)
         pa.run_simulation()

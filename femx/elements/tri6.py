@@ -384,6 +384,19 @@ def element_thermal_load_axisym(coords, C, alpha, dT_nodes):
     return fe.at[:, :, 0].add(fe_hoop)
 
 
+def element_centrifugal_load_axisym(coords, rho_omega2):
+    """Spin body-force load: fe = integral N rho w^2 r e_r dV, (E, 6, 2).
+
+    rho_omega2 = rho * omega^2 [kg/m^3 * (rad/s)^2]; the radial body force
+    of a solid of revolution rotating about its own axis (rotor/pipe spin).
+    """
+    _, wdet_r, _, _ = axisym_gauss_data(coords)
+    n_g = jnp.asarray(N_AT_GAUSS, dtype=coords.dtype)  # (3, 6)
+    r_g = jnp.einsum("gn,en->eg", n_g, coords[:, :, 0])  # (E, 3)
+    fe_r = rho_omega2 * jnp.einsum("gn,eg,eg->en", n_g, r_g, wdet_r)
+    return jnp.stack([fe_r, jnp.zeros_like(fe_r)], axis=-1)
+
+
 def element_strain_stress_axisym(coords, C, ue, alpha=0.0, dT_nodes=None):
     """Per-gauss-point axisymmetric strain/stress, thermal-corrected.
 

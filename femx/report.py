@@ -385,6 +385,9 @@ def pipe_report(analysis, filename: str = "pipe_report.md",
                  f"-> {analysis.T_outer} K (outer), log radial profile")
     lines.append(f"- **Pressure:** {analysis.pressure_inner:.4g} Pa (inner), "
                  f"{analysis.pressure_outer:.4g} Pa (outer)")
+    if getattr(analysis, "spin_rpm", 0.0):
+        lines.append(f"- **Spin:** {analysis.spin_rpm:g} RPM "
+                     f"(rho = {analysis.rho:g} kg/m^3, centrifugal body load)")
     lines.append(f"- **End condition:** {analysis.end_condition}\n")
 
     lines.append("## Mesh Information\n")

@@ -156,3 +156,30 @@ def test_pcg_path_and_input_validation():
     with pytest.raises(ValueError, match="end_condition"):
         PipeThermalAnalysis(0.05, 0.1, 1.0, 1e9, 0.3, 1e-5,
                             end_condition="bogus")
+
+
+def test_spinning_pipe_matches_exact_rotating_cylinder():
+    """Centrifugal load only: the exact plane-strain rotating-annulus
+    solution  sigma_r = k (a^2+b^2 - a^2 b^2/r^2 - r^2),
+    sigma_t = k (a^2+b^2 + a^2 b^2/r^2) - (1+2v)/(8(1-v)) rho w^2 r^2,
+    with k = (3-2v)/(8(1-v)) rho w^2 and traction-free surfaces."""
+    a, b, E, v, rho, rpm = 0.06, 0.12, 2e11, 0.3, 7850.0, 20000.0
+    pa = PipeThermalAnalysis(a, b, length=0.05, E=E, v=v, alpha=1e-5,
+                             rho=rho, spin_rpm=rpm,
+                             end_condition="plane_strain",
+                             n_r=32, n_z=4, verbose=False).run_simulation()
+    w = rpm * 2 * np.pi / 60.0
+    k = (3 - 2 * v) / (8 * (1 - v)) * rho * w**2
+    radii, s_rr = pa.radial_profile(pa.stress_nodes[:, 0])
+    _, s_tt = pa.radial_profile(pa.stress_nodes[:, 2])
+    rr_want = k * (a**2 + b**2 - a**2 * b**2 / radii**2 - radii**2)
+    tt_want = (k * (a**2 + b**2 + a**2 * b**2 / radii**2)
+               - (1 + 2 * v) / (8 * (1 - v)) * rho * w**2 * radii**2)
+    scale = np.abs(tt_want).max()
+    assert np.abs(s_rr - rr_want).max() < 5e-3 * scale
+    assert np.abs(s_tt - tt_want).max() < 5e-3 * scale
+    # traction-free surfaces and peak hoop at the bore
+    assert abs(s_rr[0]) < 5e-3 * scale and abs(s_rr[-1]) < 5e-3 * scale
+    assert s_tt[0] == pytest.approx(tt_want[0], rel=0.01)
+    with pytest.raises(ValueError, match="rho"):
+        PipeThermalAnalysis(a, b, 0.05, E, v, 1e-5, spin_rpm=1000.0)
