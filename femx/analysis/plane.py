@@ -378,6 +378,38 @@ class PlaneAnalysis:
         self.von_mises = vm
         return s_node, vm
 
+    MODAL_DOF_LIMIT = 40000
+
+    def modal(self, n_modes: int = 10, rho: float = 7850.0):
+        """2D natural frequencies and mode shapes (consistent Tri6 mass,
+        exact degree-4 quadrature; host-partitioned dense eigensolve,
+        femx.modal.modal_dense — the reference pipeline semantics).
+
+        Returns a femx.modal.ModalResult (omega rad/s ascending, modes as
+        full-DOF columns); also stored as .modal_result for the report."""
+        from femx.assembly import assemble_dense
+        from femx.modal import modal_dense
+
+        if self.u is None:
+            raise RuntimeError("Run the analysis first (BCs are set there).")
+        if self.ndof > self.MODAL_DOF_LIMIT:
+            raise ValueError(
+                f"dense 2D modal is limited to {self.MODAL_DOF_LIMIT} DOF "
+                f"(got {self.ndof}); coarsen the mesh")
+        coords = jnp.asarray(self.points[:, :2], dtype=self.dtype)[
+            jnp.asarray(self.conn)]
+        me = tri6_el.element_mass_plane(coords, float(rho),
+                                        thickness=self.thickness)
+        comp = jnp.arange(2, dtype=jnp.int32)
+        edofs = (jnp.asarray(self.conn, dtype=jnp.int32)[..., None] * 2
+                 + comp).reshape(len(self.conn), 12)
+        M = assemble_dense(me, edofs, self.ndof)
+        K = self.operator.dense()
+        res = modal_dense(np.asarray(K), np.asarray(M), self.fixed_dofs,
+                          n_modes=n_modes)
+        self.modal_result = res
+        return res
+
     def plot(self, filename: str = "plane_result.png",
              field: str = "von_mises", warp_scale=None) -> str:
         """Deformed contour plot (field: von_mises/disp/sxx/syy/sxy)."""

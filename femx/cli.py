@@ -215,6 +215,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--dT", type=float, default=None,
                     help="uniform temperature rise [K] (thermoelastic load; "
                          "needs --alpha)")
+    pl.add_argument("--modal", type=int, default=0, metavar="N",
+                    help="also compute the first N 2D natural frequencies "
+                         "(consistent Tri6 mass)")
+    pl.add_argument("--rho", type=float, default=7850.0,
+                    help="density for --modal [kg/m^3]")
     pl.add_argument("--report", default=None, help="write .md/.docx report")
     pl.add_argument("--plot", default=None, help="save deformed contour PNG")
     pl.add_argument("--plot-field",
@@ -445,15 +450,25 @@ def main(argv=None) -> int:
         pa.run_simulation()
         _, vm = pa.compute_stresses()
         imax = int(np.argmax(vm))
+        modal_hz = None
+        if args.modal:
+            res = pa.modal(n_modes=args.modal, rho=args.rho)
+            modal_hz = [float(w) / (2 * np.pi) for w in res.omega]
+            if not args.json:
+                print("Natural frequencies [Hz]: "
+                      + ", ".join(f"{f:.4f}" for f in modal_hz))
         if args.json:
-            print(json.dumps({
+            payload = {
                 "max_displacement": float(
                     np.abs(pa.u.reshape(-1, 2)).max()),
                 "max_von_mises_mpa": float(vm[imax] / 1e6),
                 "equilibrium_residual": [float(v)
                                          for v in pa.equilibrium_residual()],
                 "solve_info": pa.solve_info,
-            }))
+            }
+            if modal_hz is not None:
+                payload["frequencies_hz"] = modal_hz
+            print(json.dumps(payload))
         else:
             x, y = (float(v) for v in pa.points[imax, :2])
             print(f"Max von Mises stress: {vm[imax] / 1e6:.4f} MPa at node "

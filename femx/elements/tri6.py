@@ -227,6 +227,39 @@ def element_thermal_load_plane(coords, C, alpha_eff, dT_nodes, thickness=1.0):
                       thickness * wdet)
 
 
+# Degree-4 (Dunavant) 6-point rule — EXACT for the P2 mass integrand
+# N_i N_j (degree 4) on straight-sided triangles; weights sum to the
+# reference area 1/2 (same convention as GAUSS_WEIGHT).
+_MASS_PTS = np.array([
+    [0.445948490915965, 0.445948490915965],
+    [0.445948490915965, 0.108103018168070],
+    [0.108103018168070, 0.445948490915965],
+    [0.091576213509771, 0.091576213509771],
+    [0.091576213509771, 0.816847572980459],
+    [0.816847572980459, 0.091576213509771],
+])
+_MASS_W = 0.5 * np.array([0.223381589678011] * 3 + [0.109951743655322] * 3)
+_N_AT_MASS = np.stack([_shape(*p) for p in _MASS_PTS])
+_DN_AT_MASS = np.stack([_dshape_natural(*p) for p in _MASS_PTS])
+
+
+def element_mass_plane(coords, rho, thickness=1.0):
+    """Consistent Tri6 plane mass matrices, (E, 12, 12), exact quadrature.
+
+    M[(i,c),(j,d)] = delta_cd * integral rho t N_i N_j dA; DOF order
+    node-major / xy-minor (matches element_stiffness_plane)."""
+    dn = jnp.asarray(_DN_AT_MASS, dtype=coords.dtype)
+    J = jnp.einsum("gkn,enc->egkc", dn, coords)
+    _, detJ = _inv2x2(J)
+    w = jnp.asarray(_MASS_W, dtype=coords.dtype)
+    n_g = jnp.asarray(_N_AT_MASS, dtype=coords.dtype)  # (6, 6)
+    mn = rho * thickness * jnp.einsum("g,gi,gj,eg->eij", w, n_g, n_g,
+                                      jnp.maximum(detJ, 0.0))  # (E, 6, 6)
+    eye = jnp.eye(2, dtype=coords.dtype)
+    E = coords.shape[0]
+    return jnp.einsum("eij,cd->eicjd", mn, eye).reshape(E, 12, 12)
+
+
 def _node_gradients(coords):
     """Global shape gradients at the 6 NODE positions, (E, 6, 2, 6).
 

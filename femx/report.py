@@ -345,6 +345,15 @@ def plane_report(analysis, filename: str = "plane_report.md",
     lines.append(f"- **Max displacement:** "
                  f"{np.abs(analysis.u.reshape(-1, 2)).max():.4e} m\n")
 
+    modal = getattr(analysis, "modal_result", None)
+    if modal is not None:
+        lines.append("## Modal Analysis Results\n")
+        lines.append("| Mode | Frequency (rad/s) | Frequency (Hz) |")
+        lines.append("|---|---|---|")
+        for i, w in enumerate(np.asarray(modal.omega)):
+            lines.append(f"| {i + 1} | {w:.4f} | {w / (2 * np.pi):.4f} |")
+        lines.append("")
+
     if getattr(analysis, "solve_info", None):
         lines.append("## Solver\n")
         for k, v in analysis.solve_info.items():

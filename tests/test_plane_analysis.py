@@ -235,3 +235,58 @@ def test_thermal_callable_field_and_validation():
     with pytest.raises(ValueError, match="alpha"):
         PlaneAnalysis(mesh, [], [], E=1e9, v=0.3, temperature=50.0,
                       verbose=False)
+
+
+def test_plane_mass_matrix_properties():
+    """Consistent Tri6 mass: exact total mass and rigid-translation action
+    (degree-4 quadrature is exact for the P2 mass integrand)."""
+    import jax.numpy as jnp
+
+    from femx.elements import tri6 as tri6_el
+
+    rho, t, W, H = 7850.0, 0.02, 0.4, 0.3
+    mesh = rect_tri6(W, H, 0.1)
+    coords = jnp.asarray(mesh.points[:, :2])[jnp.asarray(
+        mesh.cells["triangle6"])]
+    me = tri6_el.element_mass_plane(coords, rho, thickness=t)
+    # symmetric, and each element's entries sum to 2 * rho t A_e
+    assert np.abs(np.asarray(me) - np.swapaxes(np.asarray(me), 1, 2)).max() < 1e-9
+    assert float(me.sum()) == pytest.approx(2 * rho * t * W * H, rel=1e-12)
+    # rigid x-translation: (M u)_total = total mass in x, zero in y
+    ue = np.zeros((len(coords), 12))
+    ue[:, 0::2] = 1.0
+    f = np.einsum("eij,ej->ei", np.asarray(me), ue)
+    assert f[:, 0::2].sum() == pytest.approx(rho * t * W * H, rel=1e-12)
+    assert abs(f[:, 1::2].sum()) < 1e-9
+
+
+def test_plane_modal_cantilever_matches_beam_theory():
+    """Slender cantilever plate (L/H = 20): first two bending frequencies
+    within ~2% of Euler-Bernoulli, first axial mode within 1% of the exact
+    fixed-free bar."""
+    L, H, t, E, v, rho = 1.0, 0.05, 0.01, 2e11, 0.3, 7850.0
+    mesh = rect_tri6(L, H, 1.0 / 80)
+    pa = PlaneAnalysis(mesh, [],
+                       [{"group": "left", "fix_x": 0, "fix_y": 0}],
+                       E=E, v=v, thickness=t, mode="stress",
+                       verbose=False).run_simulation()
+    res = pa.modal(n_modes=6, rho=rho)
+    f = np.asarray(res.omega) / (2 * np.pi)
+    I, A = t * H**3 / 12, t * H
+    eb = lambda beta: beta**2 / (2 * np.pi) * np.sqrt(E * I / (rho * A * L**4))
+    assert f[0] == pytest.approx(eb(1.8751), rel=0.02)
+    assert f[1] == pytest.approx(eb(4.69409), rel=0.02)
+    f_axial = np.sqrt(E / rho) / (4 * L)
+    assert np.abs(f / f_axial - 1).min() < 0.01  # the axial mode is in there
+    assert res.modes.shape[0] == pa.ndof
+    # mode shapes vanish on the clamped edge
+    left = np.where(np.abs(mesh.points[:, 0]) < 1e-12)[0]
+    dofs = np.concatenate([2 * left, 2 * left + 1])
+    assert np.abs(res.modes[dofs, :]).max() < 1e-12
+    with pytest.raises(ValueError, match="dense 2D modal"):
+        big = PlaneAnalysis(mesh, [], [{"group": "left", "fix_x": 0,
+                                        "fix_y": 0}],
+                            E=E, v=v, verbose=False)
+        big.MODAL_DOF_LIMIT = 10
+        big.run_simulation()
+        big.modal(2)
