@@ -38,6 +38,22 @@ def pytest_configure(config):
 # threshold: both reference goldens (the parity canaries) and the docx
 # report test. Prefix match so parametrized ids stay covered.
 _SLOW_TESTS = (
+    # 2026-08-19 re-measure (fast lane had crept to 666 s): the 2D-product
+    # and refinement tests below postdate the original list.
+    "test_refined.py::test_mixed_outer_f64_with_f32_vcycle_preconditioner",
+    "test_plane_analysis.py::test_plane_modal_cantilever_matches_beam_theory",
+    "test_plane_analysis.py::test_pcg_path_matches_exact_solution",
+    "test_plane_analysis.py::test_cantilever_vs_timoshenko_beam",
+    "test_multigrid2d.py::test_axisym_mg_matches_dense_lame",
+    "test_multigrid2d.py::test_mg_iterations_mesh_size_independent",
+    "test_multigrid2d.py::test_mg_matches_block_jacobi_solution",
+    "test_tg_sharded.py::test_sharded_apply_matches_single_device",
+    "test_lattice_precond.py::test_transfer_adjoint_and_symmetry",
+    "test_assembly_tg.py::test_apply_matches_einsum_operator",
+    "test_assembly_tg.py::test_pcg_solve_matches",
+    "test_modal_structured.py::TestPipelineModal::test_modal_refine_pipeline",
+    "test_product_reports.py::test_pipe_plot_and_report",
+    "test_beam_configs.py::test_distributed_load_stress_exact_on_coarse_mesh",
     "test_assembly_cluster.py::test_cluster_constrained_solve_matches",
     "test_assembly_cluster.py::test_pipeline_cluster_operator_route",
     "test_assembly_tg.py::test_pipeline_routes_large_unstructured_through_tg",
