@@ -40,8 +40,13 @@ PALLAS_CANARY = (
     "import numpy as np, jax, jax.numpy as jnp, time, os;"
     "import sys; sys.path.insert(0, %r);"
     "from femx.solve.multigrid import StructuredMultigrid;"
-    "grid=(16,16,64); ndof=3*int(np.prod([2*g+1 for g in grid]));"
-    "mask=np.ones(ndof);"
+    "grid=(16,16,64);"
+    # Fix the z=0 node plane: an all-free mask leaves rigid modes in K and
+    # the coarsest dense Cholesky correctly raises 'not positive definite'
+    # (first on-chip run of this canary, 2026-08-19). Mask layout is the
+    # (2nx+1, 2ny+1, 2nz+1, 3) node lattice (see StructuredMultigrid).
+    "mask=np.ones((2*grid[0]+1, 2*grid[1]+1, 2*grid[2]+1, 3));"
+    "mask[:, :, 0, :]=0; mask=mask.ravel();"
     "mg=StructuredMultigrid(None, grid, 2e11, 0.3, mask,"
     " spacing=(0.025,0.025,0.025), dtype=np.float32);"
     "op=mg.fine_op;"
