@@ -30,11 +30,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# 80,80,320 and 64,64,512 are both ~50M DOF: the 80-grid is the
-# non-power-of-two worst case (xy coarsening stops at 5 cells, one extra
-# semi-coarsened tail level), the 512-grid halves cleanly 5x — measured
-# 228 ms vs ~428 ms per V-cycle at the same size, so prefer 2^k-divisible
-# cell counts at scale.
+# 80,80,320 and 64,64,512 are both ~50M DOF: the 80-grid used to be the
+# non-power-of-two worst case (fine applies at 24 vs 11 ns/cell — the
+# round-3 "50M-DOF cliff"). Root cause: nz extents above 224 that are not
+# multiples of 128 defeat lane tiling (examples/bench_apply_shapes.py);
+# the solver now auto-pads nz with ghost cells
+# (assembly_structured.lane_friendly_nz), which this sweep exercises at
+# the 80,80,320 point.
 DEFAULT_GRIDS = ("24,24,96;32,32,128;40,40,160;48,48,192;64,64,256;"
                  "80,80,320;64,64,512")
 
@@ -60,6 +62,8 @@ def main():
                   tol=tol, maxiter=300)
         return res.x, res.iterations, res.residual_norm
 
+    from femx.assembly_structured import lane_friendly_nz, pad_z_raster
+
     grids = os.environ.get("FEMX_SCALING_GRIDS", DEFAULT_GRIDS)
     for gspec in grids.split(";"):
         nx, ny, nz = (int(v) for v in gspec.split(","))
@@ -78,8 +82,20 @@ def main():
             f[3 * tip + 1] = -1000.0 / len(tip)
 
             t0 = time.perf_counter()
-            mg = StructuredMultigrid(dims, (nx, ny, nz), 2e11, 0.3, mask,
-                                     dtype=dtype)
+            nzp = lane_friendly_nz(nz)
+            if nzp != nz:  # same ghost pad the pipeline applies
+                grid_old = (2 * nx + 1, 2 * ny + 1, 2 * nz + 1)
+                grid_new = (2 * nx + 1, 2 * ny + 1, 2 * nzp + 1)
+                mask_p = pad_z_raster(mask, grid_old, grid_new)
+                f = pad_z_raster(f, grid_old, grid_new)
+                mask, dims_mg = mask_p, None
+                mg = StructuredMultigrid(None, (nx, ny, nzp), 2e11, 0.3,
+                                         mask, dtype=dtype,
+                                         spacing=(h, h, h),
+                                         real_cells=(nx, ny, nz))
+            else:
+                mg = StructuredMultigrid(dims, (nx, ny, nz), 2e11, 0.3,
+                                         mask, dtype=dtype)
             fj = jnp.asarray(mg.fine_op.to_internal(f * mask),
                              dtype=mg.fine_op.Kcell.dtype)
             t_setup = time.perf_counter() - t0
@@ -99,6 +115,7 @@ def main():
             t_best = min(times)
             print(json.dumps({
                 "grid": [nx, ny, nz],
+                **({"padded_nz": nzp} if nzp != nz else {}),
                 "ndof": int(ndof),
                 "solve_s": round(t_best, 4),
                 "iters": int(it),

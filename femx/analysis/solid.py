@@ -444,40 +444,77 @@ class SolidReactionAnalysis:
                 self.stage_times["solve"] = time.perf_counter() - t0
                 return
         if self._structured:
-            from femx.assembly_structured import conv_routing_active
+            from femx.assembly_structured import (
+                conv_routing_active, lane_friendly_nz, pad_z_raster,
+                unpad_z_raster)
 
             dtype = self.operator.Kcell.dtype
             # structured operator runs in its internal phase-major layout
             mask_g = self.constraints.free_mask()
-            op = self.operator.with_free_mask(
-                jnp.asarray(self.operator.to_internal(mask_g), dtype=dtype)
-            )
-            self.operator = op
-            f_int = jnp.asarray(op.to_internal(self.f * mask_g), dtype=dtype)
             # Large structured systems get the geometric-multigrid
             # preconditioner (mesh-independent ~15 iterations); small ones
             # stay on block-Jacobi (MG level setup doesn't pay off).
             use_mg = self.solver == "mg" or (
                 self.solver == "auto" and ndof > self.MG_DOF_THRESHOLD
             )
+            info = self.mesh.structured
+            # Lane-pad nz out of the slow tiling regime (the ~50M-DOF cliff:
+            # 24 vs 11 ns/cell — see assembly_structured.lane_friendly_nz).
+            # Ghost cells carry zero stiffness (z_weight) + fixed DOFs, so
+            # the solution on the real lattice is identical
+            # (tests/test_lane_pad.py).
+            pad_grids = None
+            if use_mg:
+                nzc = int(info.n_cells[2])
+                nzp = lane_friendly_nz(nzc)
+                if nzp != nzc:
+                    nxc, nyc = int(info.n_cells[0]), int(info.n_cells[1])
+                    pad_grids = ((2 * nxc + 1, 2 * nyc + 1, 2 * nzc + 1),
+                                 (2 * nxc + 1, 2 * nyc + 1, 2 * nzp + 1))
+                    self._log(f"   - Lane-padding nz {nzc} -> {nzp} "
+                              "(ghost cells; fast-tiling lattice).")
             minv = None
             if use_mg:
                 from femx.solve.multigrid import StructuredMultigrid
 
-                info = self.mesh.structured
                 try:
-                    minv = StructuredMultigrid(
-                        None, info.n_cells, self.E, self.v, mask_g,
-                        weight=self.weight, dtype=np.dtype(dtype).type,
-                        fine_op=op, spacing=info.spacing,
-                        smoother=os.environ.get("FEMX_MG_SMOOTHER", "jacobi"),
-                    )
+                    if pad_grids is not None:
+                        mask_r = pad_z_raster(mask_g, *pad_grids)
+                        minv = StructuredMultigrid(
+                            None, (nxc, nyc, nzp), self.E, self.v, mask_r,
+                            weight=self.weight, dtype=np.dtype(dtype).type,
+                            spacing=info.spacing, real_cells=info.n_cells,
+                            smoother=os.environ.get("FEMX_MG_SMOOTHER",
+                                                    "jacobi"),
+                        )
+                        op = minv.fine_op
+                    else:
+                        op = self.operator.with_free_mask(
+                            jnp.asarray(self.operator.to_internal(mask_g),
+                                        dtype=dtype))
+                        minv = StructuredMultigrid(
+                            None, info.n_cells, self.E, self.v, mask_g,
+                            weight=self.weight, dtype=np.dtype(dtype).type,
+                            fine_op=op, spacing=info.spacing,
+                            smoother=os.environ.get("FEMX_MG_SMOOTHER",
+                                                    "jacobi"),
+                        )
                     method = "structured_multigrid_pcg"
                 except ValueError as e:
                     # e.g. hierarchy bottoms out too large (odd anisotropic
                     # cell counts) — block-Jacobi PCG still solves correctly.
                     self._log(f"   - Multigrid unavailable ({e}); "
                               "falling back to block-Jacobi PCG.")
+                    pad_grids = None
+            if minv is None:
+                op = self.operator.with_free_mask(
+                    jnp.asarray(self.operator.to_internal(mask_g),
+                                dtype=dtype))
+            self.operator = op
+            f_raster = self.f * mask_g
+            if pad_grids is not None:
+                f_raster = pad_z_raster(f_raster, *pad_grids)
+            f_int = jnp.asarray(op.to_internal(f_raster), dtype=dtype)
             binv = None
             if minv is None:
                 # block-Jacobi tensors (not the closure form) so the solve
@@ -505,7 +542,7 @@ class SolidReactionAnalysis:
                 res, resumed = self._solve_chunked(f_int, chunk_fn, inner_tol)
                 if np.dtype(dtype) == np.float32 and self.cg_tol < 1e-5:
                     self._op64 = op.astype(np.float64)
-                    f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
+                    f64_int = jnp.asarray(op.to_internal(f_raster))
                     corr = ((lambda r: _jit_pcg_mg(r, mg_arg, inner_tol, 10000))
                             if mg_arg is not None else
                             (lambda r: _jit_pcg_st_bj(r, op, binv, inner_tol,
@@ -521,7 +558,7 @@ class SolidReactionAnalysis:
                 # (catastrophic cancellation in b - K x with K entries ~E*h).
                 op64 = op.astype(np.float64)
                 self._op64 = op64
-                f64_int = jnp.asarray(op.to_internal(self.f * mask_g))
+                f64_int = jnp.asarray(op.to_internal(f_raster))
                 inner_tol = max(self.cg_tol, 1e-5)
                 if mg_arg is not None:
                     res = _jit_pcg_refined_mg(f_int, f64_int, mg_arg, op64,
@@ -548,7 +585,9 @@ class SolidReactionAnalysis:
                     "checkpoint": self.checkpoint,
                     "resumed_iterations": resumed}),
             }
-            self.u = op.to_global(np.asarray(u_int))
+            u_raster = op.to_global(np.asarray(u_int))
+            self.u = (u_raster if pad_grids is None
+                      else unpad_z_raster(u_raster, *pad_grids))
             self._log("   - System solved.")
             # reactions r = K u in the precision of the solution (the
             # refined path returns f64 x; applying the f32 operator to it
@@ -556,7 +595,10 @@ class SolidReactionAnalysis:
             x_dt = np.dtype(np.asarray(u_int).dtype)
             r_op = getattr(self, "_op64", op) if x_dt == np.float64 else op
             r_op = r_op.astype(x_dt)
-            self.reaction_forces = r_op.to_global(np.asarray(r_op.apply(u_int)))
+            r_raster = r_op.to_global(np.asarray(r_op.apply(u_int)))
+            self.reaction_forces = (r_raster if pad_grids is None
+                                    else unpad_z_raster(r_raster, *pad_grids))
+            self._lane_pad_grids = pad_grids  # for tests/solve_cases
             self.stage_times["solve"] = time.perf_counter() - t0
             return
 

@@ -649,6 +649,56 @@ def conv_routing_active(op: StructuredSolidOperator) -> bool:
             or jax.default_backend() == "cpu")
 
 
+def lane_friendly_nz(nz: int) -> int:
+    """Next z cell count whose fine apply lane-tiles at full rate on TPU.
+
+    Measured (examples/bench_apply_shapes.py, v5e): the slot apply runs
+    ~11 ns/cell when nz <= 224 or nz % 128 == 0, and ~24 ns/cell otherwise
+    (288/320/352/416/448 all slow; 224/256/384/512/640 fast; independent
+    of nx/ny). Padding nz up to the next multiple of 128 costs at most a
+    1.14x larger lattice (worst case 225 -> 256) for a 2.2x faster apply,
+    so it always wins in the slow regime. Padded cells are ghost cells: zero z_weight
+    (no stiffness) + fixed DOFs, so the solution on the real lattice is
+    unchanged (tests/test_lane_pad.py).
+
+    Env override FEMX_LANE_PAD: "off"/"0" disables; "force:<m>" pads nz to
+    the next multiple of <m> on ANY backend (CPU tests drive the padded
+    path this way); default "auto" applies the measured TPU rule on TPU
+    only.
+    """
+    import os
+
+    nz = int(nz)
+    mode = os.environ.get("FEMX_LANE_PAD", "auto")
+    if mode in ("0", "off"):
+        return nz
+    if mode.startswith("force:"):
+        m = int(mode.split(":", 1)[1])
+        return ((nz + m - 1) // m) * m
+    if jax.default_backend() != "tpu":
+        return nz
+    if nz <= 224 or nz % 128 == 0:
+        return nz
+    return ((nz // 128) + 1) * 128
+
+
+def pad_z_raster(v_global: np.ndarray, grid_old, grid_new) -> np.ndarray:
+    """Embed a global raster DOF vector into a z-padded lattice (zeros in
+    the padded planes). grid_* are NODE extents (2*cells+1)."""
+    gx, gy, gz = grid_old
+    g = np.asarray(v_global).reshape(gx, gy, gz, 3)
+    out = np.zeros((gx, gy, grid_new[2], 3), dtype=g.dtype)
+    out[:, :, :gz] = g
+    return out.reshape(-1)
+
+
+def unpad_z_raster(v_global_p: np.ndarray, grid_old, grid_new) -> np.ndarray:
+    """Inverse of pad_z_raster: slice the real lattice back out."""
+    gx, gy, gz = grid_old
+    g = np.asarray(v_global_p).reshape(gx, gy, grid_new[2], 3)
+    return np.ascontiguousarray(g[:, :, :gz]).reshape(-1)
+
+
 def _structured_op_flatten(op: StructuredSolidOperator):
     children = (op.Kcell, op.free_mask, op.z_weight, op.x_weight, op.y_weight)
     aux = (op.n_cells, op.grid_shape, op.weight, op.spacing)

@@ -31,25 +31,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from femx.assembly_structured import StructuredSolidOperator
+from femx.assembly_structured import (StructuredSolidOperator, pad_z_raster,
+                                      unpad_z_raster)
 from femx.parallel.halo import DistributedMultigrid, pcg_halo
 from femx.solve.multigrid import StructuredMultigrid
 
-
-def _pad_z(v_global: np.ndarray, grid_old, grid_new) -> np.ndarray:
-    """Embed a global raster DOF vector into the z-padded lattice (zeros in
-    the padded planes)."""
-    gx, gy, gz = grid_old
-    g = np.asarray(v_global).reshape(gx, gy, gz, 3)
-    out = np.zeros((gx, gy, grid_new[2], 3), dtype=g.dtype)
-    out[:, :, :gz] = g
-    return out.reshape(-1)
-
-
-def _unpad_z(v_global_p: np.ndarray, grid_old, grid_new) -> np.ndarray:
-    gx, gy, gz = grid_old
-    g = np.asarray(v_global_p).reshape(gx, gy, grid_new[2], 3)
-    return np.ascontiguousarray(g[:, :, :gz]).reshape(-1)
+# shared with the single-device lane-pad path (assembly_structured)
+_pad_z = pad_z_raster
+_unpad_z = unpad_z_raster
 
 
 class DistributedStructuredSolver:

@@ -340,6 +340,12 @@ class StructuredMultigrid:
         # constant). 0 disables (pre-v4 behavior). Full 3-axis coarsening
         # is always preferred over stopping (exact, cheap, isotropic).
         semi_stop_dof: int = 8000,
+        # Real (unpadded) cell counts when n_cells is a LANE-PADDED lattice
+        # (assembly_structured.lane_friendly_nz): axes where
+        # real_cells[i] < n_cells[i] get ghost-cell weights zeroing the
+        # padding on EVERY level (fine included) and support-fixed masks,
+        # so the padded solve equals the real one on the real lattice.
+        real_cells=None,
     ):
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(f"smoother must be 'jacobi' or 'chebyshev', "
@@ -395,8 +401,24 @@ class StructuredMultigrid:
         # clamp(real_ext - j, 0, 1).
         specs = []  # (n, sp, mask_grid, axis_weights)
         self._pad_nodes: List[tuple] = []  # per gap: node-padding per axis
-        real_ext = [float(c) for c in n]
-        weights = (None, None, None)
+        if real_cells is not None:
+            real_ext = [float(min(int(rc), c))
+                        for rc, c in zip(real_cells, n)]
+        else:
+            real_ext = [float(c) for c in n]
+        weights = tuple(
+            None if real_ext[i] >= n[i] - 1e-9
+            else np.clip(real_ext[i] - np.arange(n[i]), 0.0, 1.0)
+            for i in range(3)
+        )
+        if any(w is not None for w in weights):
+            # fix fine nodes with no weighted stiffness support (identity
+            # rows) — same rule as the per-coarsening support masking below
+            mask_grid = mask_grid * (
+                _axis_support(weights[0], n[0])[:, None, None, None]
+                * _axis_support(weights[1], n[1])[None, :, None, None]
+                * _axis_support(weights[2], n[2])[None, None, :, None]
+            )
         while True:
             specs.append((n, sp, mask_grid, weights))
             ndof = 3 * (2 * n[0] + 1) * (2 * n[1] + 1) * (2 * n[2] + 1)

@@ -1,0 +1,130 @@
+"""Lane-padding of the structured fine lattice (the round-3 50M-DOF cliff).
+
+On TPU the structured apply runs ~2.2x slower when the z cell count is
+above 224 and not a multiple of 128 (measured, examples/
+bench_apply_shapes.py). The solver deletes the cliff by ghost-padding nz
+(assembly_structured.lane_friendly_nz + StructuredMultigrid real_cells):
+padded cells carry zero stiffness and fixed DOFs, so the solution on the
+real lattice must be IDENTICAL. These tests force the padding on the CPU
+backend (FEMX_LANE_PAD=force:<m>) and check exactness end to end.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from femx.analysis import SolidReactionAnalysis
+from femx.assembly_structured import (lane_friendly_nz, pad_z_raster,
+                                      unpad_z_raster)
+from femx.mesh import box_tet10_from_cells
+
+
+def test_lane_friendly_nz_rule(monkeypatch):
+    monkeypatch.delenv("FEMX_LANE_PAD", raising=False)
+    # on CPU the auto rule is a no-op (TPU-measured regime)
+    assert lane_friendly_nz(320) in (320, 384)
+    monkeypatch.setenv("FEMX_LANE_PAD", "off")
+    assert lane_friendly_nz(320) == 320
+    monkeypatch.setenv("FEMX_LANE_PAD", "force:128")
+    assert lane_friendly_nz(320) == 384
+    assert lane_friendly_nz(225) == 256
+    assert lane_friendly_nz(384) == 384
+    monkeypatch.setenv("FEMX_LANE_PAD", "force:4")
+    assert lane_friendly_nz(6) == 8
+
+
+def test_pad_unpad_roundtrip():
+    g_old, g_new = (5, 5, 7), (5, 5, 11)
+    v = np.random.default_rng(0).standard_normal(5 * 5 * 7 * 3)
+    p = pad_z_raster(v, g_old, g_new)
+    assert p.shape == (5 * 5 * 11 * 3,)
+    np.testing.assert_array_equal(unpad_z_raster(p, g_old, g_new), v)
+
+
+def _cantilever(cells, lane_pad):
+    h = 0.05
+    mesh = box_tet10_from_cells(cells, (h, h, h))
+    zmax = mesh.points[:, 2].max()
+    fixes = [{"pos_x": p[0], "pos_y": p[1], "pos_z": 0.0,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for p in [(0, 0), (0, cells[1] * h), (cells[0] * h, 0),
+                       (cells[0] * h, cells[1] * h)]]
+    forces = [{"force_x": 0, "force_y": -500.0, "force_z": 0,
+               "force_x_pstn": cells[0] * h / 2,
+               "force_y_pstn": cells[1] * h / 2, "force_z_pstn": zmax}]
+    os.environ["FEMX_LANE_PAD"] = lane_pad
+    try:
+        a = SolidReactionAnalysis(mesh, forces, fixes, E=2e11, v=0.3,
+                                  verbose=False, solver="mg", cg_tol=1e-10)
+        a.run_simulation()
+    finally:
+        os.environ.pop("FEMX_LANE_PAD", None)
+    return a
+
+
+def test_pipeline_lane_pad_is_exact():
+    """solver='mg' pipeline with a forced nz pad (6 -> 8) matches the
+    unpadded solve on every output surface."""
+    ref = _cantilever((4, 4, 6), "off")
+    pad = _cantilever((4, 4, 6), "force:4")
+    assert pad._lane_pad_grids is not None
+    assert ref._lane_pad_grids is None
+    assert pad.u.shape == ref.u.shape
+    scale = np.abs(ref.u).max()
+    np.testing.assert_allclose(pad.u, ref.u, atol=scale * 1e-9)
+    np.testing.assert_allclose(
+        pad.reaction_forces, ref.reaction_forces,
+        atol=np.abs(ref.reaction_forces).max() * 1e-9)
+    assert np.abs(pad.equilibrium_residual()).max() < 1e-6
+    assert pad.solve_info["converged"]
+    assert "multigrid" in pad.solve_info["method"]
+
+
+def test_multigrid_real_cells_matches_unpadded():
+    """StructuredMultigrid(real_cells=...) on the padded lattice solves the
+    embedded system to the same answer as the unpadded hierarchy."""
+    import jax.numpy as jnp
+
+    from femx.solve.cg import pcg
+    from femx.solve.multigrid import StructuredMultigrid
+
+    h = 0.05
+    cells, cells_p = (4, 4, 6), (4, 4, 8)
+    mesh = box_tet10_from_cells(cells, (h, h, h))
+    ndof = 3 * mesh.num_nodes
+    rng = np.random.default_rng(1)
+    mask = np.ones(ndof)
+    for n in np.where(mesh.points[:, 2] < 1e-9)[0]:
+        mask[3 * n:3 * n + 3] = 0
+    f = rng.standard_normal(ndof) * mask
+
+    g_old = tuple(2 * c + 1 for c in cells)
+    g_new = (g_old[0], g_old[1], 2 * cells_p[2] + 1)
+
+    mg0 = StructuredMultigrid(None, cells, 2e11, 0.3, mask,
+                              spacing=(h, h, h), dtype=np.float64)
+    f0 = jnp.asarray(mg0.fine_op.to_internal(f))
+    r0 = pcg(mg0.fine_op.apply_constrained, f0, M_inv_diag=mg0,
+             tol=1e-11, maxiter=300)
+
+    mask_p = pad_z_raster(mask, g_old, g_new)
+    f_p = pad_z_raster(f, g_old, g_new)
+    mg1 = StructuredMultigrid(None, cells_p, 2e11, 0.3, mask_p,
+                              spacing=(h, h, h), dtype=np.float64,
+                              real_cells=cells)
+    f1 = jnp.asarray(mg1.fine_op.to_internal(f_p))
+    r1 = pcg(mg1.fine_op.apply_constrained, f1, M_inv_diag=mg1,
+             tol=1e-11, maxiter=300)
+
+    u0 = mg0.fine_op.to_global(np.asarray(r0.x))
+    u1 = unpad_z_raster(mg1.fine_op.to_global(np.asarray(r1.x)),
+                        g_old, g_new)
+    scale = np.abs(u0).max()
+    np.testing.assert_allclose(u1, u0, atol=scale * 1e-9)
+    # padded region carries exact zeros
+    full = mg1.fine_op.to_global(np.asarray(r1.x)).reshape(
+        g_new[0], g_new[1], g_new[2], 3)
+    assert np.abs(full[:, :, g_old[2]:, :]).max() == 0.0
+    # the padded hierarchy still converges at MG rate
+    assert int(r1.iterations) <= int(r0.iterations) + 10
