@@ -216,7 +216,6 @@ def run_bench():
     t_unstructured = None
     unstructured_iters = None
     if os.environ.get("FEMX_BENCH_UNSTRUCTURED", "1") == "1":
-        from femx.assembly_tg import SolidOperatorTG
         from femx.solve.lattice_precond import LatticePreconditioner
 
         conn_u = np.asarray(mesh.cells["tetra10"])
@@ -231,17 +230,30 @@ def run_bench():
         f_s = np.empty_like(f)
         f_s.reshape(-1, 3)[relabel] = f.reshape(-1, 3)
 
+        uop_kind = os.environ.get("FEMX_UNSTRUCTURED_OP", "tg")
         t0 = time.perf_counter()
-        uop, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
-                                           dtype=dtype)
-        uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask_s),
-                                             dtype=uop.dtype))
-        bj_data = uop.soa.block_jacobi_tensors()
+        if uop_kind == "groupell":
+            from femx.assembly_groupell import SolidOperatorGroupELL
+
+            uop, _ = SolidOperatorGroupELL.from_mesh(pts_s, conn_s, 2e11,
+                                                     0.3, dtype=dtype)
+            uop = uop.with_free_mask(
+                uop.to_internal(mask_s).astype(dtype))
+            bj_data = uop.block_jacobi_tensors()
+            bj_fn = type(uop).apply_block_jacobi
+        else:
+            from femx.assembly_tg import SolidOperatorTG
+
+            uop, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
+                                               dtype=dtype)
+            uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask_s),
+                                                 dtype=uop.dtype))
+            bj_data = uop.soa.block_jacobi_tensors()
+            bj_fn = type(uop.soa).apply_block_jacobi
         lp = LatticePreconditioner(pts_s, conn_s, 2e11, 0.3, mask_s,
                                    dtype=dtype, node_perm=uop.new_of_old,
-                                   bj_fn=type(uop.soa).apply_block_jacobi,
-                                   bj_data=bj_data)
-        log(f"unstructured setup (TG + lattice precond): "
+                                   bj_fn=bj_fn, bj_data=bj_data)
+        log(f"unstructured setup ({uop_kind} + lattice precond): "
             f"{time.perf_counter()-t0:.1f}s")
         fu = jnp.asarray(uop.to_internal(f_s * mask_s), dtype=uop.dtype)
 

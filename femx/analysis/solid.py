@@ -245,9 +245,10 @@ class SolidReactionAnalysis:
         # analysis or globally via FEMX_UNSTRUCTURED_OP=cluster).
         uop = unstructured_operator or os.environ.get(
             "FEMX_UNSTRUCTURED_OP", "tg")
-        if uop not in ("tg", "cluster"):
+        if uop not in ("tg", "cluster", "groupell"):
             raise ValueError(
-                f"unstructured_operator must be 'tg' or 'cluster', got {uop!r}")
+                "unstructured_operator must be 'tg', 'cluster' or "
+                f"'groupell', got {uop!r}")
         self.unstructured_operator = uop
         # Structured apply form: "slot" (gather-free slot stack, default)
         # or "conv" (femx.assembly_conv one-correlation stencil; pending the
@@ -341,6 +342,13 @@ class SolidReactionAnalysis:
                 from femx.assembly_cluster import SolidOperatorCluster
 
                 self.operator, detJ = SolidOperatorCluster.from_mesh(
+                    self.points, self.tetra10_conn, self.E, self.v,
+                    weight=self.weight, dtype=self.dtype or np.float64,
+                )
+            elif self.unstructured_operator == "groupell":
+                from femx.assembly_groupell import SolidOperatorGroupELL
+
+                self.operator, detJ = SolidOperatorGroupELL.from_mesh(
                     self.points, self.tetra10_conn, self.E, self.v,
                     weight=self.weight, dtype=self.dtype or np.float64,
                 )
@@ -603,15 +611,25 @@ class SolidReactionAnalysis:
             return
 
         from femx.assembly_cluster import SolidOperatorCluster
+        from femx.assembly_groupell import SolidOperatorGroupELL
         from femx.assembly_tg import SolidOperatorTG
 
-        if isinstance(self.operator, (SolidOperatorTG, SolidOperatorCluster)):
+        if isinstance(self.operator, (SolidOperatorTG, SolidOperatorCluster,
+                                      SolidOperatorGroupELL)):
             # internal-order unstructured operator (degree-sorted for TG,
-            # cluster-degree-sorted for cluster) — same solve machinery
+            # cluster-degree-sorted for cluster, pair/group-bucketed for
+            # group-ELL) — same solve machinery
             op = self.operator
             dtype = op.dtype
             mask_g = self.constraints.free_mask()
-            op = op.with_free_mask(jnp.asarray(op.to_internal(mask_g), dtype=dtype))
+            # group-ELL's block-Jacobi builder runs on HOST tensors — hand
+            # it the numpy mask (np in -> host mirror kept) instead of a
+            # device array it would have to read back through the relay.
+            mask_int = op.to_internal(mask_g)
+            op = op.with_free_mask(
+                mask_int.astype(np.dtype(dtype))
+                if isinstance(op, SolidOperatorGroupELL)
+                else jnp.asarray(mask_int, dtype=dtype))
             self.operator = op
             f_int = jnp.asarray(op.to_internal(self.f * mask_g), dtype=dtype)
             # Block-Jacobi as (capture-free fn, pytree data) so everything
@@ -622,7 +640,9 @@ class SolidReactionAnalysis:
             bj_data = bj_src.block_jacobi_tensors()
             bj_fn = type(bj_src).apply_block_jacobi
             minv = None
-            op_tag = ("tg" if isinstance(op, SolidOperatorTG) else "cluster")
+            op_tag = ("tg" if isinstance(op, SolidOperatorTG)
+                      else "groupell" if isinstance(op, SolidOperatorGroupELL)
+                      else "cluster")
             method_prefix = f"{op_tag}_block_jacobi"
             if ndof > self.MG_DOF_THRESHOLD:
                 # auxiliary structured-lattice MG coarse correction: cuts

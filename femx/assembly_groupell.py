@@ -1,0 +1,435 @@
+"""Group-ELL assembled unstructured operator — wide-row gathers only.
+
+Why: on TPU, XLA row gathers cost per ROW, in two regimes (measured,
+examples/bench_gather_width.py on v5e): ~5 ns/row below 48 f32 of width,
+~2.1 ns/row at 48+ (the DMA-friendly width). The transpose-gather operator
+(femx.assembly_tg) needs 2 x 10E NARROW rows per apply — 42.6 ms at the
+1.39M-DOF flagship, gather-bound. Mosaic offers no tall-table vectorized
+gather to fix this in a kernel (its tpu.dynamic_gather is limited to one
+source vreg along sublanes — examples/bench_dyngather.py), so the win must
+come from the fast WIDE regime:
+
+  * nodes are Morton-ordered and cut into COLUMN GROUPS of 16 consecutive
+    nodes = 48 f32 of u — one fast-regime gather row;
+  * K is pre-assembled into dense (6, 48) blocks per (node PAIR, column
+    group) — a pair's two nodes share most of their stiffness neighborhood
+    (measured: pairing cuts blocks 1.5x);
+  * node pairs are bucketed by their group COUNT g (exact, zero padding)
+    and live in bucket-major internal order, so per bucket the apply is
+      u16[idx]                       (n_g, g, 48)   wide row gather
+      einsum("ngw,ngrw->nr", ., Kb)  (n_g, 6)       dense contraction
+    and outputs CONCATENATE — no scatter, no extraction;
+  * the only narrow movement left is one pair-level permutation
+    (bucket-major -> Morton) of (NP, 6) rows per apply.
+
+Measured at the flagship (examples/bench_groupell_core.py): 2.86M blocks,
+3.3 GB of Kb. Trade-off vs TG: ~13 GB/s of extra HBM streaming for ~27x
+fewer narrow gather rows; storage grows with mesh size, so the pipeline
+keeps TG the default above FEMX_GROUPELL_MAX_BLOCKS.
+
+Same math as femx.assembly.SolidOperator (blocks are exact f64 host sums
+of the same element matrices) — equality enforced by
+tests/test_assembly_groupell.py. astype(float64) returns a compact SoA
+shadow (exact, scatter-based — fine for the ~4 residual evaluations per
+refined solve).
+
+Reference replaced: scipy lil/CSR assembly + SuperLU for arbitrary gmsh
+meshes (ReactionSolver.py:115-152, 196-205).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+GROUP = 16          # nodes per column group (48 f32 — the fast-gather width)
+PAIR = 2            # nodes per row block
+
+
+@dataclasses.dataclass
+class SolidOperatorGroupELL:
+    """Assembled (pair x 16-node-group) dense-block ELL, bucketed by g."""
+
+    idx: List[jnp.ndarray]       # per bucket (n_g, g) int32 group ids
+    Kb: List[jnp.ndarray]        # per bucket (n_g, g, 6, 48)
+    bucket_g: List[int]
+    pairperm: jnp.ndarray        # (NP,) int32: morton pair -> internal pair
+    new_of_old: np.ndarray       # mesh node -> internal node id
+    n_nodes: int                 # real mesh nodes
+    n_pad: int                   # internal nodes (multiple of GROUP)
+    weight: float
+    free_mask: Optional[jnp.ndarray] = None  # (3*n_pad,) internal layout
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_mesh(cls, points, conn, E_mod, nu, weight=None,
+                  dtype=np.float32):
+        """Build from host mesh arrays. Returns (op, detJ)."""
+        from femx.assembly_cluster import _element_stiffness_host
+        from femx.elements.tet10 import GAUSS_WEIGHT_CORRECT
+        from femx.mesh.reorder import morton_codes
+
+        if weight is None:
+            weight = GAUSS_WEIGHT_CORRECT
+        points = np.asarray(points, dtype=np.float64)
+        conn = np.asarray(conn)
+        N, E = len(points), len(conn)
+        n_pad = -(-N // GROUP) * GROUP
+        dt = np.dtype(dtype)
+
+        # ---- Morton node order (dummies pad the tail) -------------------
+        code = morton_codes(points)
+        perm_m = np.argsort(code, kind="stable")
+        morton_of_old = np.argsort(perm_m, kind="stable")  # mesh -> morton
+        cm = morton_of_old[conn]                           # (E, 10)
+
+        # ---- element stiffness (exact f64 host, shared with cluster) ----
+        ke, detJ = _element_stiffness_host(points, conn, E_mod, nu,
+                                           float(weight))
+
+        # ---- aggregate to unique node pairs (f64 sums) -------------------
+        rowm = np.repeat(cm, 10, axis=1).reshape(-1).astype(np.int64)
+        colm = np.tile(cm, (1, 10)).reshape(-1).astype(np.int64)
+        key = rowm * n_pad + colm
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(key_s)) + 1]
+        upairs = key_s[starts]                             # unique (r, c)
+        e_i = order // 100
+        a_i = (order // 10) % 10
+        b_i = order % 10
+        kev = ke.reshape(E, 10, 3, 10, 3)
+        vals = kev[e_i[:, None, None], a_i[:, None, None],
+                   np.arange(3)[None, :, None],
+                   b_i[:, None, None],
+                   np.arange(3)[None, None, :]]            # (100E, 3, 3)
+        agg = np.add.reduceat(vals.reshape(-1, 9), starts, axis=0)
+        del vals, kev, key, key_s, order, e_i, a_i, b_i
+        ur = upairs // n_pad                               # morton row node
+        uc = upairs % n_pad                                # morton col node
+        agg_diag64 = agg[ur == uc].reshape(-1, 3, 3).copy()  # f64, pre-cast
+
+        # ---- (pair, group) blocks + g buckets ----------------------------
+        rb = ur // PAIR
+        grp = uc // GROUP
+        NP = n_pad // PAIR
+        NG = n_pad // GROUP
+        ublocks = np.unique(rb * NG + grp)                 # sorted (rb, grp)
+        blk_rb = ublocks // NG
+        g_of_rb = np.bincount(blk_rb, minlength=NP)        # groups per pair
+
+        order_rb = np.argsort(g_of_rb, kind="stable")      # bucket-major
+        rank_rb = np.argsort(order_rb, kind="stable")      # morton pair->int
+        new_of_old = (rank_rb[morton_of_old // PAIR] * PAIR
+                      + morton_of_old % PAIR)
+
+        # per-block position: row-in-bucket = rank of its pair within its
+        # g class; slot = index of its group among the pair's sorted groups
+        g_sorted = g_of_rb[order_rb]
+        counts = np.bincount(g_sorted)
+        cstart = np.r_[0, np.cumsum(counts)][:-1]          # start per g
+        blk_g = g_of_rb[blk_rb]
+        blk_row = rank_rb[blk_rb] - cstart[blk_g]
+        # ublocks is sorted by (rb, grp); slot = index within the rb run
+        rb_starts = np.r_[0, np.flatnonzero(np.diff(blk_rb)) + 1]
+        blk_slot = np.arange(len(ublocks)) - np.repeat(
+            rb_starts, np.diff(np.r_[rb_starts, len(ublocks)]))
+
+        # ---- allocate buckets, place aggregated 3x3s (unique slots) ------
+        gs = np.unique(g_sorted)
+        bucket_g = [int(g) for g in gs]
+        n_of_g = {int(g): int((g_sorted == g).sum()) for g in gs}
+        idx_h = {g: np.zeros((n_of_g[g], g), dtype=np.int32)
+                 for g in bucket_g if g > 0}
+        Kb_h = {g: np.zeros((n_of_g[g], g, 6, 3 * GROUP), dtype=dt)
+                for g in bucket_g if g > 0}
+        # group ids per block
+        for g in bucket_g:
+            if g == 0:
+                continue
+            m = blk_g == g
+            idx_h[g][blk_row[m], blk_slot[m]] = (ublocks[m] % NG).astype(
+                np.int32)
+
+        # unique-pair placement: find each pair's block, then its in-block
+        # (rloc, cloc) 3x3 tile — destinations are unique, so flat fancy
+        # ASSIGNMENT (no add.at) applies the aggregated values in one shot
+        pblock = np.searchsorted(ublocks, rb * NG + grp)
+        pr = ur % PAIR
+        pc = uc % GROUP
+        agg = agg.reshape(-1, 3, 3).astype(dt)
+        for g in bucket_g:
+            if g == 0:
+                continue
+            m = blk_g[pblock] == g
+            kb = Kb_h[g]
+            n_g = kb.shape[0]
+            flat = kb.reshape(n_g * g * 6 * 3 * GROUP)
+            base = ((blk_row[pblock[m]] * g + blk_slot[pblock[m]])
+                    * (6 * 3 * GROUP)
+                    + pr[m] * 3 * (3 * GROUP) + pc[m] * 3)
+            off = (np.arange(3)[:, None] * (3 * GROUP)
+                   + np.arange(3)[None, :]).reshape(-1)
+            flat[(base[:, None] + off[None, :]).reshape(-1)] = (
+                agg[m].reshape(-1, 9).reshape(-1))
+
+        op = cls(
+            idx=[jnp.asarray(idx_h[g]) if g > 0
+                 else jnp.zeros((n_of_g[0], 0), dtype=jnp.int32)
+                 for g in bucket_g],
+            Kb=[jnp.asarray(Kb_h[g]) if g > 0
+                else jnp.zeros((n_of_g[0], 0, 6, 3 * GROUP), dtype=dt)
+                for g in bucket_g],
+            bucket_g=bucket_g,
+            pairperm=jnp.asarray(rank_rb.astype(np.int32)),
+            new_of_old=new_of_old,
+            n_nodes=N,
+            n_pad=n_pad,
+            weight=float(weight),
+        )
+        # host-side data for the f64 shadow + block-Jacobi (not leaves)
+        op._points = points
+        op._conn = conn
+        op._E_mod = float(E_mod)
+        op._nu = float(nu)
+        # nodal diagonal blocks in INTERNAL order (f64, for block-Jacobi);
+        # dummy nodes keep identity so their inverse blocks stay finite
+        bd = np.tile(np.eye(3), (n_pad, 1, 1))
+        ar = np.arange(n_pad)
+        int_of_morton = rank_rb[ar // PAIR] * PAIR + ar % PAIR
+        bd[int_of_morton[ur[ur == uc]]] = agg_diag64
+        op._bd_host = bd
+        op._int_of_morton = int_of_morton
+        return op, detJ
+
+    # -- layout ------------------------------------------------------------
+    @property
+    def ndof(self) -> int:
+        return 3 * self.n_pad
+
+    @property
+    def n_elements(self) -> int:
+        return len(self._conn)
+
+    @property
+    def dtype(self):
+        return self.Kb[-1].dtype
+
+    def to_internal(self, x: np.ndarray) -> np.ndarray:
+        x3 = np.asarray(x).reshape(self.n_nodes, 3)
+        out = np.zeros((self.n_pad, 3), dtype=x3.dtype)
+        out[self.new_of_old] = x3
+        return out.reshape(-1)
+
+    def to_global(self, y: np.ndarray) -> np.ndarray:
+        y3 = np.asarray(y).reshape(self.n_pad, 3)
+        return y3[self.new_of_old].reshape(-1)
+
+    def with_free_mask(self, free_mask_internal) -> "SolidOperatorGroupELL":
+        m = jnp.asarray(free_mask_internal, dtype=self.dtype)
+        out = dataclasses.replace(self, free_mask=m)
+        _copy_host(self, out)
+        if isinstance(free_mask_internal, np.ndarray):
+            out._free_mask_host = free_mask_internal
+        return out
+
+    def astype(self, dtype) -> object:
+        """f64 view for refinement residuals: a compact SoA shadow on the
+        internal-ordered padded mesh (exact element einsum + scatter —
+        slow per apply but only ~4 residual evaluations per solve use it;
+        a f64 copy of Kb would double the dominant HBM cost instead).
+        Returned wrapped so it carries this operator's layout converters
+        (the pipeline's reaction path runs to_internal -> apply ->
+        to_global on the residual operator)."""
+        dt = jnp.dtype(dtype)
+        if dt == jnp.dtype(self.dtype):
+            return self
+        from femx.assembly_soa import SolidOperatorSoA
+
+        pts_int = np.zeros((self.n_pad, 3))
+        pts_int[self.new_of_old] = self._points
+        conn_int = self.new_of_old[self._conn]
+        shadow, _ = SolidOperatorSoA.from_mesh(
+            pts_int, conn_int, self._E_mod, self._nu, weight=self.weight,
+            dtype=np.dtype(dtype).type)
+        if self.free_mask is not None:
+            shadow = shadow.with_free_mask(self.free_mask.astype(dt))
+        return GroupELLShadow(soa=shadow, new_of_old=self.new_of_old,
+                              n_nodes=self.n_nodes, n_pad=self.n_pad)
+
+    # -- core ----------------------------------------------------------------
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """K @ u (internal bucket-major layout)."""
+        u6 = u.reshape(-1, 3 * PAIR)
+        u6m = u6[self.pairperm]                  # -> morton pair order
+        u16 = u6m.reshape(-1, 3 * GROUP)         # (NG, 48) group table
+        outs = []
+        for ii, kk, g in zip(self.idx, self.Kb, self.bucket_g):
+            if g == 0:
+                outs.append(jnp.zeros((ii.shape[0], 3 * PAIR),
+                                      dtype=u.dtype))
+                continue
+            got = u16[ii]                        # (n_g, g, 48) wide rows
+            outs.append(_contract(got, kk))
+        return jnp.concatenate(outs).reshape(-1)
+
+    def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
+        s = self.free_mask
+        v = self.apply(u * s) * s
+        return v + u * (1.0 - s)
+
+    # -- preconditioning ------------------------------------------------------
+    def block_jacobi_tensors(self) -> jnp.ndarray:
+        """(n_pad, 3, 3) inverse nodal blocks, constrained by free_mask,
+        internal node order (dummy nodes get identity)."""
+        from femx.assembly_structured import _inv3x3_np
+
+        bd = self._bd_host.copy()
+        mask = np.asarray(self._free_mask_host
+                          if getattr(self, "_free_mask_host", None)
+                          is not None else self.free_mask).reshape(
+                              self.n_pad, 3)
+        bd *= mask[:, :, None] * mask[:, None, :]
+        bd += (1.0 - mask)[:, :, None] * np.eye(3)
+        return jnp.asarray(_inv3x3_np(bd).astype(np.dtype(self.dtype)))
+
+    @staticmethod
+    def apply_block_jacobi(binv, r):
+        r3 = r.reshape(-1, 3)
+        return jnp.einsum("ncd,nd->nc", binv, r3).reshape(-1)
+
+    def diagonal(self) -> jnp.ndarray:
+        d = np.einsum("ncc->nc", self._bd_host).reshape(-1)
+        return jnp.asarray(d.astype(np.dtype(self.dtype)))
+
+    def gather_rows(self) -> int:
+        """Wide gather rows per apply (vs the TG operator's 20E narrow)."""
+        return sum(int(i.shape[0]) * g
+                   for i, g in zip(self.idx, self.bucket_g))
+
+
+@dataclasses.dataclass
+class GroupELLShadow:
+    """f64 residual operator for a SolidOperatorGroupELL: SoA element
+    apply on the padded internal layout + the parent's layout converters
+    (so the pipeline's generic to_internal -> apply -> to_global reaction
+    recovery works on it unchanged)."""
+
+    soa: object                 # SolidOperatorSoA on the padded mesh
+    new_of_old: np.ndarray      # mesh node -> internal node id
+    n_nodes: int
+    n_pad: int
+
+    @property
+    def dtype(self):
+        return self.soa.dNg.dtype
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.n_pad
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.soa.apply(u)
+
+    def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.soa.apply_constrained(u)
+
+    def to_internal(self, x: np.ndarray) -> np.ndarray:
+        x3 = np.asarray(x).reshape(self.n_nodes, 3)
+        out = np.zeros((self.n_pad, 3), dtype=x3.dtype)
+        out[self.new_of_old] = x3
+        return out.reshape(-1)
+
+    def to_global(self, y: np.ndarray) -> np.ndarray:
+        y3 = np.asarray(y).reshape(self.n_pad, 3)
+        return y3[self.new_of_old].reshape(-1)
+
+    def astype(self, dtype) -> "GroupELLShadow":
+        dt = jnp.dtype(dtype)
+        if dt == jnp.dtype(self.dtype):
+            return self
+        return dataclasses.replace(self, soa=self.soa.astype(dt))
+
+
+def _shadow_flatten(s: GroupELLShadow):
+    return (s.soa,), (_HostArr(s.new_of_old), s.n_nodes, s.n_pad)
+
+
+def _shadow_unflatten(aux, children):
+    hoa, n_nodes, n_pad = aux
+    return GroupELLShadow(soa=children[0], new_of_old=hoa.a,
+                          n_nodes=n_nodes, n_pad=n_pad)
+
+
+def _contract(got: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
+    """Per-bucket contraction (n, g, 48) x (n, g, 6, 48) -> (n, 6).
+    Form selectable for on-chip A/B (FEMX_GROUPELL_CONTRACT)."""
+    form = os.environ.get("FEMX_GROUPELL_CONTRACT", "einsum")
+    if form == "dotgen":
+        n, g, w = got.shape
+        return jax.lax.dot_general(
+            got.reshape(n, g * w), kk.reshape(n, g * w, 6),
+            (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ngw,ngrw->nr", got, kk,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+_HOST_FIELDS = ("_points", "_conn", "_E_mod", "_nu", "_bd_host",
+                "_int_of_morton", "_free_mask_host")
+
+
+def _copy_host(src, dst):
+    for f in _HOST_FIELDS:
+        if getattr(src, f, None) is not None:
+            object.__setattr__(dst, f, getattr(src, f))
+
+
+def _ge_flatten(op: SolidOperatorGroupELL):
+    children = (tuple(op.idx), tuple(op.Kb), op.pairperm, op.free_mask)
+    aux = (tuple(op.bucket_g), _HostArr(op.new_of_old), op.n_nodes,
+           op.n_pad, op.weight)
+    return children, aux
+
+
+def _ge_unflatten(aux, children):
+    idx, Kb, pairperm, free_mask = children
+    bucket_g, hoa, n_nodes, n_pad, weight = aux
+    op = object.__new__(SolidOperatorGroupELL)
+    op.idx = list(idx)
+    op.Kb = list(Kb)
+    op.pairperm = pairperm
+    op.free_mask = free_mask
+    op.bucket_g = list(bucket_g)
+    op.new_of_old = hoa.a
+    op.n_nodes = n_nodes
+    op.n_pad = n_pad
+    op.weight = weight
+    return op
+
+
+class _HostArr:
+    __slots__ = ("a", "_key")
+
+    def __init__(self, a):
+        self.a = np.asarray(a)
+        self._key = (self.a.shape, self.a.dtype.str, hash(self.a.tobytes()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostArr) and self._key == other._key
+
+
+jax.tree_util.register_pytree_node(
+    SolidOperatorGroupELL, _ge_flatten, _ge_unflatten
+)
+jax.tree_util.register_pytree_node(
+    GroupELLShadow, _shadow_flatten, _shadow_unflatten
+)

@@ -553,12 +553,24 @@ class LatticePreconditioner:
 
         # --- transfers ------------------------------------------------------
         if node_perm is not None:
-            inv = np.argsort(np.asarray(node_perm), kind="stable")
+            # INJECTIVE mesh->caller map: the caller layout may be LARGER
+            # than the mesh (padded internal layouts, e.g. the group-ELL
+            # operator pads nodes to whole 16-node column groups). Unmapped
+            # caller slots are dummies: zero mask, so they contribute
+            # nothing through restrict and get zeros from interpolate.
+            npm = np.asarray(node_perm)
+            n_cal = max(int(npm.max()) + 1, self.n_nodes)
+            inv = np.zeros(n_cal, dtype=np.int64)
+            have = np.zeros(n_cal, dtype=bool)
+            inv[npm] = np.arange(len(npm))
+            have[npm] = True
             pts_cal = pts[inv]  # caller's node i is mesh node inv[i]
-            mu_cal = mu[inv]
+            mu_cal = np.where(have[:, None], mu[inv], 0.0)
         else:
+            n_cal = self.n_nodes
             pts_cal = pts
             mu_cal = mu
+        self.n_cal = n_cal
         # Pruned transfer when enough trilinear weights are exact zeros to
         # pay for its two rank-permutation gathers (grid-matched lattices —
         # the auto default — are ~1 kept corner per node; fully generic
@@ -585,7 +597,7 @@ class LatticePreconditioner:
             Al = self.mg.fine_op.apply_constrained
             for _ in range(self.n_cycles - 1):
                 el = el + self.mg((rl - Al(el)) * self._lat_mask) * self._lat_mask
-        return self.transfer.interpolate(el, self.n_nodes) * self._mask_cal
+        return self.transfer.interpolate(el, self.n_cal) * self._mask_cal
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         if self.mode == "add":
@@ -656,7 +668,8 @@ def _lp_flatten(lp: LatticePreconditioner):
     children = (lp.mg, lp.transfer, lp._mask_cal, lp._lat_mask,
                 None if legacy else lp.bj_data, lp.op, lp.omega)
     aux = (lp.bj_fn, lp.bj_data if legacy else None, lp.coarse_weight,
-           lp.n_nodes, lp.n_cells, lp.spacing, lp.mode, lp.n_cycles)
+           lp.n_nodes, lp.n_cells, lp.spacing, lp.mode, lp.n_cycles,
+           lp.n_cal)
     return children, aux
 
 
@@ -665,7 +678,7 @@ def _lp_unflatten(aux, children):
     (out.mg, out.transfer, out._mask_cal, out._lat_mask, bj_data,
      out.op, out.omega) = children
     (out.bj_fn, legacy_data, out.coarse_weight, out.n_nodes, out.n_cells,
-     out.spacing, out.mode, out.n_cycles) = aux
+     out.spacing, out.mode, out.n_cycles, out.n_cal) = aux
     out.bj_data = legacy_data if legacy_data is not None else bj_data
     return out
 

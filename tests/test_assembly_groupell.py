@@ -1,0 +1,189 @@
+"""Group-ELL operator (femx.assembly_groupell): exact equality with the
+reference-validated einsum operator, layout roundtrip, constrained apply,
+block-Jacobi/diagonal, f64 shadow, and the pipeline route.
+
+The operator replaces the reference's scipy lil/CSR assembly + SuperLU for
+arbitrary gmsh meshes (ReactionSolver.py:115-152, 196-205) with wide-row
+gathers + dense (6, 48) block contractions (see module docstring)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from femx.assembly import SolidOperator
+from femx.assembly_groupell import GROUP, SolidOperatorGroupELL
+from femx.elements.tet10 import material_matrix
+from femx.mesh import box_tet10
+from femx.solve.cg import pcg
+
+
+def _scrambled_box(mesh_size=0.05):
+    mesh = box_tet10(0.3, 0.2, 0.4, mesh_size=mesh_size)
+    conn = np.asarray(mesh.cells["tetra10"])
+    pts = np.asarray(mesh.points)
+    rng = np.random.default_rng(0)
+    relabel = rng.permutation(len(pts))
+    pts_s = np.empty_like(pts)
+    pts_s[relabel] = pts
+    return pts_s, relabel[conn]
+
+
+def test_apply_matches_einsum_operator():
+    pts, conn = _scrambled_box()
+    C = material_matrix(2e11, 0.3)
+    op_ref, _ = SolidOperator.from_mesh(pts, conn, C)
+    op_ge, detJ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                                  dtype=np.float64)
+    assert np.all(np.asarray(detJ) > 0)
+    assert op_ge.n_pad % GROUP == 0
+    assert op_ge.n_pad >= len(pts)
+
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(3 * len(pts))
+    want = np.asarray(op_ref.apply(jnp.asarray(u)))
+    got = op_ge.to_global(np.asarray(op_ge.apply(
+        jnp.asarray(op_ge.to_internal(u)))))
+    np.testing.assert_allclose(got, want, rtol=1e-10,
+                               atol=1e-9 * np.abs(want).max())
+
+
+def test_roundtrip_layout_and_dummy_slots():
+    pts, conn = _scrambled_box(mesh_size=0.1)
+    op, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                            dtype=np.float64)
+    x = np.arange(3 * len(pts), dtype=np.float64)
+    xi = op.to_internal(x)
+    assert xi.shape == (3 * op.n_pad,)
+    np.testing.assert_array_equal(op.to_global(xi), x)
+    # dummy (padded) internal slots are zero after to_internal
+    filled = np.zeros(op.n_pad, dtype=bool)
+    filled[op.new_of_old] = True
+    assert np.all(xi.reshape(-1, 3)[~filled] == 0)
+
+
+def test_constrained_apply_diagonal_block_jacobi():
+    pts, conn = _scrambled_box(mesh_size=0.1)
+    C = material_matrix(2e11, 0.3)
+    op_ref, _ = SolidOperator.from_mesh(pts, conn, C)
+    op_ge, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                               dtype=np.float64)
+
+    rng = np.random.default_rng(2)
+    mask = (rng.random(3 * len(pts)) > 0.1).astype(np.float64)
+    op_ref = op_ref.with_free_mask(jnp.asarray(mask))
+    op_ge = op_ge.with_free_mask(op_ge.to_internal(mask))
+
+    u = rng.standard_normal(3 * len(pts))
+    want = np.asarray(op_ref.apply_constrained(jnp.asarray(u)))
+    got = op_ge.to_global(np.asarray(op_ge.apply_constrained(
+        jnp.asarray(op_ge.to_internal(u)))))
+    np.testing.assert_allclose(got, want, rtol=1e-10,
+                               atol=1e-9 * np.abs(want).max())
+
+    d_ref = np.asarray(op_ref.diagonal())
+    d_ge = op_ge.to_global(np.asarray(op_ge.diagonal()))
+    np.testing.assert_allclose(d_ge, d_ref, rtol=1e-10)
+
+    # block-Jacobi inverse blocks applied to a vector match the einsum
+    # operator's preconditioner on free DOFs
+    binv = op_ge.block_jacobi_tensors()
+    r = rng.standard_normal(3 * len(pts)) * mask
+    z_ge = op_ge.to_global(np.asarray(op_ge.apply_block_jacobi(
+        binv, jnp.asarray(op_ge.to_internal(r)))))
+    z_ref = np.asarray(op_ref.block_jacobi_preconditioner()(jnp.asarray(r)))
+    np.testing.assert_allclose(z_ge * mask, z_ref * mask, rtol=1e-9,
+                               atol=1e-12 * np.abs(z_ref).max())
+
+
+def test_f64_shadow_matches():
+    """astype(f64) of an f32 operator yields an exact f64 residual operator
+    on the same internal layout (the mixed-precision refinement contract)."""
+    pts, conn = _scrambled_box(mesh_size=0.1)
+    op32, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                              dtype=np.float32)
+    mask = np.ones(3 * len(pts))
+    mask[: 30] = 0.0
+    op32 = op32.with_free_mask(op32.to_internal(mask).astype(np.float32))
+    sh = op32.astype(np.float64)
+    assert sh is not op32
+    assert np.dtype(sh.dtype) == np.float64
+
+    op64, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                              dtype=np.float64)
+    op64 = op64.with_free_mask(op64.to_internal(mask))
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal(3 * len(pts))
+    want = op64.to_global(np.asarray(op64.apply_constrained(
+        jnp.asarray(op64.to_internal(u)))))
+    got = sh.to_global(np.asarray(sh.apply_constrained(
+        jnp.asarray(sh.to_internal(u)))))
+    np.testing.assert_allclose(got, want, rtol=1e-12,
+                               atol=1e-12 * np.abs(want).max())
+
+
+def test_pcg_solve_matches():
+    pts, conn = _scrambled_box(mesh_size=0.1)
+    C = material_matrix(2e11, 0.3)
+    op_ref, _ = SolidOperator.from_mesh(pts, conn, C)
+    op_ge, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                               dtype=np.float64)
+
+    n = 3 * len(pts)
+    mask = np.ones(n)
+    for nd in np.where(pts[:, 1] < 1e-9)[0]:
+        mask[3 * nd : 3 * nd + 3] = 0.0
+    rng = np.random.default_rng(3)
+    f = rng.standard_normal(n) * mask * 1e3
+
+    op_ref = op_ref.with_free_mask(jnp.asarray(mask))
+    res_ref = pcg(op_ref.apply_constrained, jnp.asarray(f),
+                  M_inv_diag=op_ref.block_jacobi_preconditioner(),
+                  tol=1e-12, maxiter=4000)
+    assert bool(res_ref.converged)
+
+    op_ge = op_ge.with_free_mask(op_ge.to_internal(mask))
+    binv = op_ge.block_jacobi_tensors()
+    res_ge = pcg(op_ge.apply_constrained,
+                 jnp.asarray(op_ge.to_internal(f)),
+                 M_inv_diag=lambda r: op_ge.apply_block_jacobi(binv, r),
+                 tol=1e-12, maxiter=4000)
+    assert bool(res_ge.converged)
+
+    u_ref = np.asarray(res_ref.x)
+    u_ge = op_ge.to_global(np.asarray(res_ge.x))
+    np.testing.assert_allclose(u_ge, u_ref, rtol=1e-8,
+                               atol=1e-10 * np.abs(u_ref).max())
+
+
+def test_pipeline_route_groupell():
+    """unstructured_operator='groupell' drives the full pipeline (lattice-MG
+    PCG + reactions) and matches the TG route bit-for-tolerance."""
+    from femx.analysis import SolidReactionAnalysis
+    from femx.mesh.core import Mesh as FMesh
+
+    pts, conn = _scrambled_box(mesh_size=0.04)  # > DENSE_DOF_LIMIT
+    mesh = FMesh(points=pts, cells={"tetra10": conn},
+                 cell_physical={"tetra10": np.ones(len(conn), np.int32)},
+                 field_data={"box": (1, 3)})
+    ymax = float(pts[:, 1].max())
+    xmax = float(pts[:, 0].max())
+    zmax = float(pts[:, 2].max())
+    fixes = [{"pos_x": x, "pos_y": 0.0, "pos_z": z,
+              "fix_x": 0, "fix_y": 0, "fix_z": 0}
+             for x, z in [(0, 0), (xmax, 0), (0, zmax), (xmax, zmax)]]
+    forces = [{"force_x": 0, "force_y": -3000.0, "force_z": 0,
+               "force_x_pstn": xmax / 2, "force_y_pstn": ymax,
+               "force_z_pstn": zmax / 2}]
+
+    kw = dict(E=2e11, v=0.3, verbose=False, cg_tol=1e-8)
+    fa_tg = SolidReactionAnalysis(mesh, forces, fixes,
+                                  unstructured_operator="tg", **kw)
+    fa_tg.run_simulation()
+    fa_ge = SolidReactionAnalysis(mesh, forces, fixes,
+                                  unstructured_operator="groupell", **kw)
+    fa_ge.run_simulation()
+    assert fa_ge.solve_info["method"].startswith("groupell_")
+    assert fa_ge.solve_info["converged"]
+
+    scale = np.abs(fa_tg.u).max()
+    np.testing.assert_allclose(fa_ge.u, fa_tg.u, atol=1e-8 * scale)
+    np.testing.assert_allclose(fa_ge.equilibrium_residual(), 0, atol=1e-6)
