@@ -49,8 +49,10 @@ from femx.assembly_structured import StructuredSolidOperator
 # rebuild). Measured at the 1.39M-DOF flagship: 6.4 s cold -> ~1.5 s warm
 # setup. Disable with FEMX_MG_CACHE=0.
 
-_MG_CACHE_VERSION = 4  # v4: semi_stop_dof — dense bottom instead of
-# semi-coarsened (anisotropic) levels once ndof <= semi_stop_dof
+_MG_CACHE_VERSION = 5  # v5: lane padding (real_cells) pads ONLY the fine
+# level; the coarse chain lives on the real lattice and the gap-0 transfer
+# crops (changes level_cells, omegas and binv payloads for padded
+# hierarchies vs v4, which threaded ghost weights through every level)
 
 
 def _mg_cache_dir() -> str | None:
@@ -401,24 +403,30 @@ class StructuredMultigrid:
         # clamp(real_ext - j, 0, 1).
         specs = []  # (n, sp, mask_grid, axis_weights)
         self._pad_nodes: List[tuple] = []  # per gap: node-padding per axis
+        # Lane padding (real_cells < n_cells) pads ONLY the fine level:
+        # the coarse chain is built from the REAL lattice (identical to the
+        # unpadded hierarchy — measured: threading ghost weights through
+        # every level cost 14 -> 23 iterations at 80x80x320->384), and the
+        # gap-0 transfer CROPS the padded fine residual to the real lattice
+        # (adjoint: the prolonged correction is zero-embedded back).
+        pad_cells = (0, 0, 0)
+        n_fine_padded = n
+        mask_fine_padded = None
         if real_cells is not None:
-            real_ext = [float(min(int(rc), c))
-                        for rc, c in zip(real_cells, n)]
-        else:
-            real_ext = [float(c) for c in n]
-        weights = tuple(
-            None if real_ext[i] >= n[i] - 1e-9
-            else np.clip(real_ext[i] - np.arange(n[i]), 0.0, 1.0)
-            for i in range(3)
-        )
-        if any(w is not None for w in weights):
-            # fix fine nodes with no weighted stiffness support (identity
-            # rows) — same rule as the per-coarsening support masking below
-            mask_grid = mask_grid * (
-                _axis_support(weights[0], n[0])[:, None, None, None]
-                * _axis_support(weights[1], n[1])[None, :, None, None]
-                * _axis_support(weights[2], n[2])[None, None, :, None]
-            )
+            rc = tuple(int(v) for v in real_cells)
+            pad_cells = tuple(c - r for c, r in zip(n, rc))
+            if any(p < 0 for p in pad_cells):
+                raise ValueError(
+                    f"real_cells {rc} exceed n_cells {n} on some axis")
+            if any(pad_cells):
+                mask_fine_padded = mask_grid  # padded node extents
+                mask_grid = np.ascontiguousarray(
+                    mask_grid[: 2 * rc[0] + 1, : 2 * rc[1] + 1,
+                              : 2 * rc[2] + 1])
+                n = rc
+        self._crop_nodes = tuple(2 * p for p in pad_cells)
+        real_ext = [float(c) for c in n]
+        weights = (None, None, None)
         while True:
             specs.append((n, sp, mask_grid, weights))
             ndof = 3 * (2 * n[0] + 1) * (2 * n[1] + 1) * (2 * n[2] + 1)
@@ -498,8 +506,12 @@ class StructuredMultigrid:
         # key separately (the v4 default is covered by _MG_CACHE_VERSION)
         if semi_stop_dof != 8000:
             extra += f"|ss:{semi_stop_dof}"
+        if any(pad_cells):
+            extra += f"|fp:{pad_cells}"
         ck = _mg_cache_key(specs[0][0], specs[0][1], E, nu, weight, dtype,
-                           n_smooth, omega, coarse_dof_limit, specs[0][2],
+                           n_smooth, omega, coarse_dof_limit,
+                           specs[0][2] if mask_fine_padded is None
+                           else mask_fine_padded,
                            extra=extra)
         cached = _mg_cache_load(ck)
         level_cells = np.asarray([s_[0] for s_ in specs], dtype=np.int64)
@@ -521,12 +533,29 @@ class StructuredMultigrid:
         # NOT read the device arrays back: a device->host readback through
         # the axon relay blocks for minutes — measured 580 s setup)
         for i, (ni, spi, mgrid, wts) in enumerate(specs):
+            if i == 0 and any(pad_cells):
+                # lane-padded fine level: padded lattice, ghost-cell weights
+                # zeroing the padding, support-fixed padded mask. The rest
+                # of the chain (and specs[0] itself) stays the REAL lattice.
+                ni = n_fine_padded
+                mgrid = mask_fine_padded
+                wts = tuple(
+                    None if pad_cells[a] == 0
+                    else np.clip(float(n_fine_padded[a] - pad_cells[a])
+                                 - np.arange(ni[a]), 0.0, 1.0)
+                    for a in range(3))
+                mgrid = mgrid * (
+                    _axis_support(wts[0], ni[0])[:, None, None, None]
+                    * _axis_support(wts[1], ni[1])[None, :, None, None]
+                    * _axis_support(wts[2], ni[2])[None, None, :, None])
             if i == 0 and fine_op is not None:
                 if tuple(fine_op.n_cells) != ni:
                     raise ValueError(
                         f"fine_op has n_cells {fine_op.n_cells}, expected {ni}"
                     )
                 op = fine_op
+                if any(pad_cells):
+                    wts = (None, None, None)  # caller already weighted it
             elif (
                 prev_op is not None
                 and self._coarsen_axes[i - 1] == (1, 2, 3)
@@ -551,7 +580,9 @@ class StructuredMultigrid:
                     else jnp.asarray(wts[2], dtype=dtype),
                 )
                 object.__setattr__(op, "_Kcell_host", kch)
-            prev_op = op
+            # the lane-padded fine op must not seed coarsened() — level 1
+            # lives on the REAL lattice (the gap-0 transfer crops)
+            prev_op = None if (i == 0 and any(pad_cells)) else op
             m_int = op.to_internal(mgrid.reshape(-1))
             op = op.with_free_mask(m_int)  # numpy in: host mirror cached
             if cached is not None:
@@ -721,7 +752,18 @@ class StructuredMultigrid:
         # correction back (exact adjoints; padded region carries only
         # ghost-masked values).
         pad = self._pad_nodes[k] if self._pad_nodes else (0, 0, 0)
+        # Lane padding (gap 0 only): CROP the padded fine residual to the
+        # real lattice before restriction; zero-embed the prolonged
+        # correction back (exact adjoints — ghost DOFs are fixed and carry
+        # no residual).
+        crop = (self._crop_nodes if k == 0
+                and any(getattr(self, "_crop_nodes", (0, 0, 0)))
+                else (0, 0, 0))
         r_full = _join_full(lvl.op, r)
+        Px, Py, Pz = lvl.op.grid_shape
+        rx, ry, rz = Px - crop[0], Py - crop[1], Pz - crop[2]
+        if any(crop):
+            r_full = r_full[:, :rx, :ry, :rz]
         if any(pad):
             r_full = jnp.pad(r_full, ((0, 0), (0, pad[0]), (0, pad[1]),
                                       (0, pad[2])))
@@ -729,8 +771,10 @@ class StructuredMultigrid:
         e_coarse = self._vcycle(k + 1, r_coarse)
         e_full = prolong(_join_full(nxt.op, e_coarse), axes)
         if any(pad):
-            Px, Py, Pz = lvl.op.grid_shape
-            e_full = e_full[:, :Px, :Py, :Pz]
+            e_full = e_full[:, :rx, :ry, :rz]
+        if any(crop):
+            e_full = jnp.pad(e_full, ((0, 0), (0, crop[0]), (0, crop[1]),
+                                      (0, crop[2])))
         x = x + _split_full(lvl.op, e_full) * lvl.op.free_mask
         return self._postsmooth(k, x, b, sweeps)
 
@@ -856,7 +900,8 @@ def _mg_flatten(mg: StructuredMultigrid):
            getattr(mg, "smoother", "jacobi"),
            None if getattr(mg, "lmaxs", None) is None else tuple(mg.lmaxs),
            getattr(mg, "cheb_lower", 1.0 / 30.0),
-           getattr(mg, "cheb_upper", 1.1))
+           getattr(mg, "cheb_upper", 1.1),
+           tuple(getattr(mg, "_crop_nodes", (0, 0, 0))))
     return children, aux
 
 
@@ -864,12 +909,13 @@ def _mg_unflatten(aux, children):
     out = object.__new__(StructuredMultigrid)
     out.levels, out._coarse_inv = children
     (out.n_smooth, out.omega, omegas, coarsen, pads, sweeps,
-     out.smoother, lmaxs, out.cheb_lower, out.cheb_upper) = aux
+     out.smoother, lmaxs, out.cheb_lower, out.cheb_upper, crop) = aux
     out.omegas = list(omegas)
     out._coarsen_axes = list(coarsen)
     out._pad_nodes = list(pads)
     out.sweeps = None if sweeps is None else list(sweeps)
     out.lmaxs = None if lmaxs is None else list(lmaxs)
+    out._crop_nodes = crop
     return out
 
 
