@@ -10,6 +10,7 @@ Run: python examples/bench_groupell_tpu.py [nx,ny,nz]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -79,25 +80,30 @@ def main():
         f"{ge.gather_rows()/1e6:.2f}M wide rows, Kb {kb_gb:.2f} GB, "
         f"buckets g={ge.bucket_g}")
 
-    t0 = time.perf_counter()
-    tg, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
-                                      dtype=np.float32)
-    t_build_tg = time.perf_counter() - t0
-    log(f"TG build: {t_build_tg:.1f}s host")
+    skip_tg = os.environ.get("FEMX_BENCH_SKIP_TG", "0") == "1"
+    t_tg = float("nan")
+    if not skip_tg:
+        t0 = time.perf_counter()
+        tg, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
+                                          dtype=np.float32)
+        t_build_tg = time.perf_counter() - t0
+        log(f"TG build: {t_build_tg:.1f}s host")
 
     u = jnp.asarray(rng.standard_normal(3 * ge.n_pad).astype(np.float32))
     t_ge = _loop_apply(ge, u, 50)
     log(f"group-ELL apply: {t_ge*1e3:.2f} ms")
-    ut = jnp.asarray(rng.standard_normal(tg.ndof).astype(np.float32))
-    t_tg = _loop_apply(tg, ut, 50)
-    log(f"TG apply: {t_tg*1e3:.2f} ms")
+    if not skip_tg:
+        ut = jnp.asarray(rng.standard_normal(tg.ndof).astype(np.float32))
+        t_tg = _loop_apply(tg, ut, 50)
+        log(f"TG apply: {t_tg*1e3:.2f} ms")
 
     print(json.dumps({
         "metric": "groupell_vs_tg_apply",
         "ndof": ndof,
         "groupell_ms": round(t_ge * 1e3, 3),
-        "tg_ms": round(t_tg * 1e3, 3),
-        "speedup": round(t_tg / t_ge, 2),
+        **({} if skip_tg else {
+            "tg_ms": round(t_tg * 1e3, 3),
+            "speedup": round(t_tg / t_ge, 2)}),
         "groupell_build_s": round(t_build_ge, 1),
         "kb_gb": round(kb_gb, 2),
         "backend": jax.default_backend(),

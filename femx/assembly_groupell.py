@@ -122,18 +122,26 @@ class SolidOperatorGroupELL:
         ublocks = np.unique(rb * NG + grp)                 # sorted (rb, grp)
         blk_rb = ublocks // NG
         g_of_rb = np.bincount(blk_rb, minlength=NP)        # groups per pair
+        # Optional g quantization up to a multiple of FEMX_GROUPELL_QUANT
+        # (padded slots index group 0 with an all-zero Kb block). Default 1
+        # = exact-g: the flagship A/B measured exact-g 38-bucket apply at
+        # 16.8 ms vs 19.4 ms for quant=4's 11 buckets — the apply is
+        # K-stream/gather bound, so the ~12% extra stream (3.81 vs 3.40 GB)
+        # costs more than 27 fewer launches save.
+        quant = max(1, int(os.environ.get("FEMX_GROUPELL_QUANT", "1")))
+        gq_of_rb = -(-g_of_rb // quant) * quant            # 0 stays 0
 
-        order_rb = np.argsort(g_of_rb, kind="stable")      # bucket-major
+        order_rb = np.argsort(gq_of_rb, kind="stable")     # bucket-major
         rank_rb = np.argsort(order_rb, kind="stable")      # morton pair->int
         new_of_old = (rank_rb[morton_of_old // PAIR] * PAIR
                       + morton_of_old % PAIR)
 
         # per-block position: row-in-bucket = rank of its pair within its
         # g class; slot = index of its group among the pair's sorted groups
-        g_sorted = g_of_rb[order_rb]
+        g_sorted = gq_of_rb[order_rb]
         counts = np.bincount(g_sorted)
         cstart = np.r_[0, np.cumsum(counts)][:-1]          # start per g
-        blk_g = g_of_rb[blk_rb]
+        blk_g = gq_of_rb[blk_rb]
         blk_row = rank_rb[blk_rb] - cstart[blk_g]
         # ublocks is sorted by (rb, grp); slot = index within the rb run
         rb_starts = np.r_[0, np.flatnonzero(np.diff(blk_rb)) + 1]
