@@ -215,6 +215,11 @@ def run_bench():
     # SoA geometry + lattice setup + one large compile).
     t_unstructured = None
     unstructured_iters = None
+    # group-ELL is the bench default (the recommended fast f32 config:
+    # 0.68 s vs 1.16 s TG solve at 1.39M DOF, measured 2026-08-19); the
+    # LIBRARY default stays "tg" (group-ELL's pre-assembled blocks are
+    # 3.4 GB f32 / 6.8 GB f64 at this scale).
+    uop_kind = os.environ.get("FEMX_UNSTRUCTURED_OP", "groupell")
     if os.environ.get("FEMX_BENCH_UNSTRUCTURED", "1") == "1":
         from femx.solve.lattice_precond import LatticePreconditioner
 
@@ -230,7 +235,6 @@ def run_bench():
         f_s = np.empty_like(f)
         f_s.reshape(-1, 3)[relabel] = f.reshape(-1, 3)
 
-        uop_kind = os.environ.get("FEMX_UNSTRUCTURED_OP", "tg")
         t0 = time.perf_counter()
         if uop_kind == "groupell":
             from femx.assembly_groupell import SolidOperatorGroupELL
@@ -321,7 +325,7 @@ def run_bench():
         # (examples/tpu_revalidation.py runs bench.py under these flags).
         "structured_apply": os.environ.get("FEMX_STRUCTURED_APPLY", "slot"),
         "mg_smoother": os.environ.get("FEMX_MG_SMOOTHER", "jacobi"),
-        "unstructured_op": os.environ.get("FEMX_UNSTRUCTURED_OP", "tg"),
+        "unstructured_op": uop_kind,
     }))
 
 
