@@ -64,12 +64,24 @@ class SolidOperatorGroupELL:
     n_pad: int                   # internal nodes (multiple of GROUP)
     weight: float
     free_mask: Optional[jnp.ndarray] = None  # (3*n_pad,) internal layout
+    io_dtype: str = "float32"    # vector dtype (u/f/masks); Kb may be
+    # stored NARROWER (kb_dtype="bfloat16" halves the dominant HBM stream:
+    # 17.5 -> 10.1 ms synthetic apply). MEASURED AND REJECTED as a default
+    # at the flagship: the ~4e-3-rel operator perturbation collapses
+    # lattice-MG PCG convergence (119 iterations to 8.9e-6 vs 17 for f32;
+    # even tol 1e-3 needs 69), and f64 refinement around bf16 inner solves
+    # stalls outright (true residual 0.40 after 705 inner iterations) —
+    # the cheaper stream loses 7x+ on iterations. Kept as an opt-in for
+    # future smoother-side uses.
 
     # ------------------------------------------------------------------
     @classmethod
     def from_mesh(cls, points, conn, E_mod, nu, weight=None,
-                  dtype=np.float32):
-        """Build from host mesh arrays. Returns (op, detJ)."""
+                  dtype=np.float32, kb_dtype=None):
+        """Build from host mesh arrays. Returns (op, detJ).
+
+        kb_dtype: storage dtype for the dense blocks (default = dtype;
+        env FEMX_GROUPELL_KB overrides, e.g. "bfloat16")."""
         from femx.assembly_cluster import _element_stiffness_host
         from femx.elements.tet10 import GAUSS_WEIGHT_CORRECT
         from femx.mesh.reorder import morton_codes
@@ -81,6 +93,9 @@ class SolidOperatorGroupELL:
         N, E = len(points), len(conn)
         n_pad = -(-N // GROUP) * GROUP
         dt = np.dtype(dtype)
+        kbt = jnp.dtype(kb_dtype
+                        or os.environ.get("FEMX_GROUPELL_KB", "")
+                        or dt)
 
         # ---- Morton node order (dummies pad the tail) -------------------
         code = morton_codes(points)
@@ -190,8 +205,8 @@ class SolidOperatorGroupELL:
             idx=[jnp.asarray(idx_h[g]) if g > 0
                  else jnp.zeros((n_of_g[0], 0), dtype=jnp.int32)
                  for g in bucket_g],
-            Kb=[jnp.asarray(Kb_h[g]) if g > 0
-                else jnp.zeros((n_of_g[0], 0, 6, 3 * GROUP), dtype=dt)
+            Kb=[jnp.asarray(Kb_h[g].astype(kbt, copy=False)) if g > 0
+                else jnp.zeros((n_of_g[0], 0, 6, 3 * GROUP), dtype=kbt)
                 for g in bucket_g],
             bucket_g=bucket_g,
             pairperm=jnp.asarray(rank_rb.astype(np.int32)),
@@ -199,6 +214,7 @@ class SolidOperatorGroupELL:
             n_nodes=N,
             n_pad=n_pad,
             weight=float(weight),
+            io_dtype=dt.name,
         )
         # host-side data for the f64 shadow + block-Jacobi (not leaves)
         op._points = points
@@ -226,7 +242,8 @@ class SolidOperatorGroupELL:
 
     @property
     def dtype(self):
-        return self.Kb[-1].dtype
+        """Vector (u/f/mask) dtype — Kb storage may be narrower."""
+        return jnp.dtype(self.io_dtype)
 
     def to_internal(self, x: np.ndarray) -> np.ndarray:
         x3 = np.asarray(x).reshape(self.n_nodes, 3)
@@ -283,7 +300,11 @@ class SolidOperatorGroupELL:
                                       dtype=u.dtype))
                 continue
             got = u16[ii]                        # (n_g, g, 48) wide rows
-            outs.append(_contract(got, kk))
+            if kk.dtype != got.dtype:            # narrow Kb storage: cast
+                got = got.astype(kk.dtype)       # tiles, accumulate f32 on
+                outs.append(_contract(got, kk).astype(u.dtype))  # the MXU
+            else:
+                outs.append(_contract(got, kk))
         return jnp.concatenate(outs).reshape(-1)
 
     def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -401,13 +422,13 @@ def _copy_host(src, dst):
 def _ge_flatten(op: SolidOperatorGroupELL):
     children = (tuple(op.idx), tuple(op.Kb), op.pairperm, op.free_mask)
     aux = (tuple(op.bucket_g), _HostArr(op.new_of_old), op.n_nodes,
-           op.n_pad, op.weight)
+           op.n_pad, op.weight, op.io_dtype)
     return children, aux
 
 
 def _ge_unflatten(aux, children):
     idx, Kb, pairperm, free_mask = children
-    bucket_g, hoa, n_nodes, n_pad, weight = aux
+    bucket_g, hoa, n_nodes, n_pad, weight, io_dtype = aux
     op = object.__new__(SolidOperatorGroupELL)
     op.idx = list(idx)
     op.Kb = list(Kb)
@@ -418,6 +439,7 @@ def _ge_unflatten(aux, children):
     op.n_nodes = n_nodes
     op.n_pad = n_pad
     op.weight = weight
+    op.io_dtype = io_dtype
     return op
 
 

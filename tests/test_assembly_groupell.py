@@ -120,6 +120,33 @@ def test_f64_shadow_matches():
                                atol=1e-12 * np.abs(want).max())
 
 
+def test_kb_bfloat16_storage():
+    """kb_dtype='bfloat16' halves block storage; the apply stays in the io
+    dtype (f32) and matches the f32-block apply to bf16 rounding."""
+    import jax.numpy as jnp_
+
+    pts, conn = _scrambled_box(mesh_size=0.1)
+    op32, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                              dtype=np.float32)
+    opbf, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                              dtype=np.float32,
+                                              kb_dtype="bfloat16")
+    assert np.dtype(opbf.dtype) == np.float32
+    assert opbf.Kb[-1].dtype == jnp_.bfloat16
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(3 * len(pts)).astype(np.float32)
+    want = op32.to_global(np.asarray(op32.apply(
+        jnp.asarray(op32.to_internal(u)))))
+    got = opbf.to_global(np.asarray(opbf.apply(
+        jnp.asarray(opbf.to_internal(u)))))
+    assert got.dtype == np.float32
+    scale = np.abs(want).max()
+    # bf16 has ~8 mantissa bits: elementwise products err ~4e-3 rel
+    np.testing.assert_allclose(got, want, atol=2e-2 * scale)
+    err = np.abs(got - want).max() / scale
+    assert err > 1e-7, "bf16 path suspiciously exact - not exercised?"
+
+
 def test_pcg_solve_matches():
     pts, conn = _scrambled_box(mesh_size=0.1)
     C = material_matrix(2e11, 0.3)
