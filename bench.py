@@ -245,7 +245,16 @@ def run_bench():
                 uop.to_internal(mask_s).astype(dtype))
             bj_data = uop.block_jacobi_tensors()
             bj_fn = type(uop).apply_block_jacobi
-        else:
+        elif uop_kind == "cluster":
+            from femx.assembly_cluster import SolidOperatorCluster
+
+            uop, _ = SolidOperatorCluster.from_mesh(pts_s, conn_s, 2e11,
+                                                    0.3, dtype=dtype)
+            uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask_s),
+                                                 dtype=uop.dtype))
+            bj_data = uop.block_jacobi_tensors()
+            bj_fn = type(uop).apply_block_jacobi
+        elif uop_kind == "tg":
             from femx.assembly_tg import SolidOperatorTG
 
             uop, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
@@ -254,9 +263,17 @@ def run_bench():
                                                  dtype=uop.dtype))
             bj_data = uop.soa.block_jacobi_tensors()
             bj_fn = type(uop.soa).apply_block_jacobi
+        else:
+            # fail fast: a typo'd/unsupported value silently benchmarking a
+            # DIFFERENT operator while the JSON reports the requested name
+            # corrupts A/B records (advisor round-4)
+            raise ValueError(
+                f"FEMX_UNSTRUCTURED_OP={uop_kind!r} not in "
+                "('tg', 'cluster', 'groupell')")
         lp = LatticePreconditioner(pts_s, conn_s, 2e11, 0.3, mask_s,
                                    dtype=dtype, node_perm=uop.new_of_old,
-                                   bj_fn=bj_fn, bj_data=bj_data)
+                                   bj_fn=bj_fn, bj_data=bj_data,
+                                   n_caller=getattr(uop, "n_pad", None))
         log(f"unstructured setup ({uop_kind} + lattice precond): "
             f"{time.perf_counter()-t0:.1f}s")
         fu = jnp.asarray(uop.to_internal(f_s * mask_s), dtype=uop.dtype)

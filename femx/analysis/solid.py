@@ -655,6 +655,7 @@ class SolidReactionAnalysis:
                         self.points, self.tetra10_conn, self.E, self.v,
                         mask_g, dtype=np.dtype(dtype).type,
                         node_perm=op.new_of_old, bj_fn=bj_fn, bj_data=bj_data,
+                        n_caller=getattr(op, "n_pad", None),
                     )
                     method_prefix = f"{op_tag}_lattice_mg"
                 except ValueError as e:
@@ -868,11 +869,19 @@ class SolidReactionAnalysis:
         # the generic einsum operator works in global DOF order directly
         to_int = getattr(op, "to_internal", lambda v: v)
         to_glob = getattr(op, "to_global", lambda v: v)
-        rows = [
-            to_int(bc_mod.solid_point_loads(self.mesh, case,
-                                            self.neumann_nodes)[0] * mask_g)
-            for case in force_cases
-        ]
+        # after a lane-padded solve() the operator/preconditioner live on
+        # the GHOST-PADDED lattice: embed each real-lattice load into it
+        # (zeros in ghost planes) and slice results back out below
+        pad_grids = getattr(self, "_lane_pad_grids", None)
+        if pad_grids is not None:
+            from femx.assembly_structured import pad_z_raster, unpad_z_raster
+        rows = []
+        for case in force_cases:
+            fg = bc_mod.solid_point_loads(self.mesh, case,
+                                          self.neumann_nodes)[0] * mask_g
+            if pad_grids is not None:
+                fg = pad_z_raster(fg, *pad_grids)
+            rows.append(to_int(fg))
         F = jnp.asarray(np.stack(rows), dtype=dtype)
 
         pre = getattr(self, "_precond", None)
@@ -902,6 +911,9 @@ class SolidReactionAnalysis:
             rns = np.asarray(rns_l)
         U = np.stack([np.asarray(to_glob(np.asarray(X[i])))
                       for i in range(len(force_cases))])
+        if pad_grids is not None:
+            U = np.stack([unpad_z_raster(U[i], *pad_grids)
+                          for i in range(len(force_cases))])
         self.case_solve_info = [
             {"iterations": int(its[i]), "residual": float(rns[i]),
              "converged": bool(rns[i] <= t)}
@@ -1224,6 +1236,17 @@ class SolidReactionAnalysis:
                 [op.to_global(np.asarray(res.modes[:, i]))
                  for i in range(res.modes.shape[1])], axis=1,
             )
+            # lane-padded solve(): the operator lives on the ghost-padded
+            # lattice (zero ghost mass, fixed ghost DOFs — the eigenpairs
+            # are those of the real lattice); slice the ghost planes off so
+            # mode shapes match the mesh's global DOF order
+            pad_grids = getattr(self, "_lane_pad_grids", None)
+            if pad_grids is not None:
+                from femx.assembly_structured import unpad_z_raster
+
+                modes = np.stack(
+                    [unpad_z_raster(modes[:, i], *pad_grids)
+                     for i in range(modes.shape[1])], axis=1)
             res = ModalResult(omega=res.omega, modes=jnp.asarray(modes),
                               iterations=res.iterations)
         else:

@@ -259,8 +259,13 @@ class SolidOperatorGroupELL:
         m = jnp.asarray(free_mask_internal, dtype=self.dtype)
         out = dataclasses.replace(self, free_mask=m)
         _copy_host(self, out)
-        if isinstance(free_mask_internal, np.ndarray):
-            out._free_mask_host = free_mask_internal
+        # keep the host mirror in lockstep with free_mask: a stale copied
+        # mirror would silently drive block_jacobi_tensors() with the OLD
+        # mask (advisor round-4). Device inputs clear it (the builder then
+        # reads free_mask back once).
+        out._free_mask_host = (free_mask_internal
+                               if isinstance(free_mask_internal, np.ndarray)
+                               else None)
         return out
 
     def astype(self, dtype) -> object:

@@ -460,6 +460,7 @@ class LatticePreconditioner:
         op=None,
         omega: Optional[float] = None,
         n_cycles: int = 2,
+        n_caller: Optional[int] = None,
     ):
         """
         Args:
@@ -482,6 +483,11 @@ class LatticePreconditioner:
             multiplicative modes. Required for "mult_sym" (SPD needs
             rho(omega*D^-1 A) < 2; use 1/estimate_bj_lambda_max(...)),
             defaults to 1.0 for "mult" (fcg tolerates it).
+          n_caller: node count of the CALLER's vector layout when it is
+            PADDED beyond the mesh (e.g. SolidOperatorGroupELL.n_pad).
+            Inferring it from node_perm fails when the highest internal
+            slot is a dummy node (max(node_perm)+1 < n_pad) — pass the
+            operator's padded count explicitly. Default: inferred.
           n_cycles: lattice V-cycles per coarse correction (>1 buys a
             stronger correction for pure lattice-side cost — no
             unstructured gathers). Default 2: measured 44 -> 38 iterations
@@ -559,7 +565,8 @@ class LatticePreconditioner:
             # caller slots are dummies: zero mask, so they contribute
             # nothing through restrict and get zeros from interpolate.
             npm = np.asarray(node_perm)
-            n_cal = max(int(npm.max()) + 1, self.n_nodes)
+            n_cal = max(int(npm.max()) + 1, self.n_nodes,
+                        0 if n_caller is None else int(n_caller))
             inv = np.zeros(n_cal, dtype=np.int64)
             have = np.zeros(n_cal, dtype=bool)
             inv[npm] = np.arange(len(npm))

@@ -81,6 +81,45 @@ def test_pipeline_lane_pad_is_exact():
     assert "multigrid" in pad.solve_info["method"]
 
 
+def test_lane_pad_solve_cases_and_modal_match_unpadded():
+    """Post-solve APIs on a lane-padded analysis return REAL-lattice-sized
+    results matching the unpadded run (advisor round-4 high finding: the
+    padded operator used to crash solve_cases and return padded-length
+    modes)."""
+    ref = _cantilever((4, 4, 6), "off")
+    pad = _cantilever((4, 4, 6), "force:4")
+    assert pad._lane_pad_grids is not None
+
+    h = 0.05
+    cases = [
+        [{"force_x": 0, "force_y": -250.0, "force_z": 0,
+          "force_x_pstn": 2 * h, "force_y_pstn": 2 * h,
+          "force_z_pstn": 6 * h}],
+        [{"force_x": 100.0, "force_y": 0, "force_z": 0,
+          "force_x_pstn": 2 * h, "force_y_pstn": 2 * h,
+          "force_z_pstn": 6 * h}],
+    ]
+    U_ref = ref.solve_cases(cases)
+    U_pad = pad.solve_cases(cases)
+    assert U_pad.shape == U_ref.shape == (2, ref.u.shape[0])
+    scale = np.abs(U_ref).max()
+    np.testing.assert_allclose(U_pad, U_ref, atol=scale * 1e-8)
+    assert all(i["converged"] for i in pad.case_solve_info)
+
+    m_ref = ref.modal(n_modes=3, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+    m_pad = pad.modal(n_modes=3, rho=7850.0, tol=1e-8, inner_tol=1e-10)
+    assert m_pad.modes.shape == m_ref.modes.shape == (ref.u.shape[0], 3)
+    np.testing.assert_allclose(np.asarray(m_pad.omega),
+                               np.asarray(m_ref.omega), rtol=1e-6)
+    # mode shapes match up to sign
+    for j in range(3):
+        a = np.asarray(m_ref.modes[:, j])
+        b = np.asarray(m_pad.modes[:, j])
+        s = np.sign(np.dot(a, b)) or 1.0
+        np.testing.assert_allclose(s * b, a,
+                                   atol=np.abs(a).max() * 1e-4)
+
+
 def test_multigrid_real_cells_matches_unpadded():
     """StructuredMultigrid(real_cells=...) on the padded lattice solves the
     embedded system to the same answer as the unpadded hierarchy."""

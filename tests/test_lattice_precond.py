@@ -119,3 +119,42 @@ def test_iteration_reduction_and_solution():
     err = float(jnp.max(jnp.abs(res_lp.x - res_bj.x)) /
                 jnp.max(jnp.abs(res_bj.x)))
     assert err < 1e-8
+
+
+def test_n_caller_padded_layout_sizes():
+    """Callers with PADDED internal layouts (group-ELL pads nodes to whole
+    16-node groups) must get caller-sized vectors even when the top padded
+    slots are all dummies — n_cal inferred from max(node_perm)+1 undersizes
+    _mask_cal exactly then (advisor round-4 medium finding)."""
+    pts, conn, _op, mask, _f = _problem(mesh_size=0.05)
+    N = len(pts)
+    n_pad = N + 5  # top 5 caller slots are dummy nodes
+    node_perm = np.arange(N)  # identity embed: max(node_perm)+1 == N < n_pad
+
+    lp = LatticePreconditioner(pts, conn, 2e11, 0.3, mask,
+                               dtype=np.float64, node_perm=node_perm,
+                               block_jacobi_apply=lambda r: r,
+                               n_caller=n_pad)
+    assert lp.n_cal == n_pad
+    rng = np.random.default_rng(7)
+    r = rng.standard_normal(3 * n_pad)
+    z = np.asarray(lp.coarse_correct(jnp.asarray(r)))
+    assert z.shape == (3 * n_pad,)
+    # dummy slots carry zero mask: no contribution in, zeros out
+    assert np.all(z[3 * N:] == 0.0)
+
+    # same problem through the REAL padded operator path: n_caller wired
+    # from SolidOperatorGroupELL.n_pad keeps shapes consistent
+    from femx.assembly_groupell import SolidOperatorGroupELL
+
+    ge, _ = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                            dtype=np.float64)
+    ge = ge.with_free_mask(ge.to_internal(mask))
+    binv = ge.block_jacobi_tensors()
+    lp2 = LatticePreconditioner(pts, conn, 2e11, 0.3, mask,
+                                dtype=np.float64, node_perm=ge.new_of_old,
+                                bj_fn=type(ge).apply_block_jacobi,
+                                bj_data=binv, n_caller=ge.n_pad)
+    assert lp2.n_cal == ge.n_pad
+    z2 = np.asarray(lp2(jnp.asarray(ge.to_internal(mask * 0 + 1.0))))
+    assert z2.shape == (3 * ge.n_pad,)
