@@ -241,6 +241,8 @@ def run_bench():
 
             uop, _ = SolidOperatorGroupELL.from_mesh(pts_s, conn_s, 2e11,
                                                      0.3, dtype=dtype)
+            jax.block_until_ready(uop.Kb)
+            t_uassemble = time.perf_counter() - t0
             uop = uop.with_free_mask(
                 uop.to_internal(mask_s).astype(dtype))
             bj_data = uop.block_jacobi_tensors()
@@ -250,6 +252,8 @@ def run_bench():
 
             uop, _ = SolidOperatorCluster.from_mesh(pts_s, conn_s, 2e11,
                                                     0.3, dtype=dtype)
+            jax.block_until_ready(uop.Kcl)
+            t_uassemble = time.perf_counter() - t0
             uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask_s),
                                                  dtype=uop.dtype))
             bj_data = uop.block_jacobi_tensors()
@@ -259,6 +263,8 @@ def run_bench():
 
             uop, _ = SolidOperatorTG.from_mesh(pts_s, conn_s, 2e11, 0.3,
                                                dtype=dtype)
+            jax.block_until_ready(uop.connT)
+            t_uassemble = time.perf_counter() - t0
             uop = uop.with_free_mask(jnp.asarray(uop.to_internal(mask_s),
                                                  dtype=uop.dtype))
             bj_data = uop.soa.block_jacobi_tensors()
@@ -274,8 +280,14 @@ def run_bench():
                                    dtype=dtype, node_perm=uop.new_of_old,
                                    bj_fn=bj_fn, bj_data=bj_data,
                                    n_caller=getattr(uop, "n_pad", None))
+        t_usetup = time.perf_counter() - t0
+        # BASELINE.md row 32's north-star metric, for the ARBITRARY-mesh
+        # path: operator assembly throughput (mesh arrays in, applyable
+        # device operator out — excludes the preconditioner build).
+        u_mdof_s = (ndof / 1e6) / t_uassemble
         log(f"unstructured setup ({uop_kind} + lattice precond): "
-            f"{time.perf_counter()-t0:.1f}s")
+            f"{t_usetup:.1f}s (operator assembly {t_uassemble:.1f}s = "
+            f"{u_mdof_s:.2f} MDOF/s)")
         fu = jnp.asarray(uop.to_internal(f_s * mask_s), dtype=uop.dtype)
 
         @jax.jit
@@ -337,6 +349,12 @@ def run_bench():
         **({} if t_unstructured is None else {
             "unstructured_solve_s": round(t_unstructured, 3),
             "unstructured_iters": unstructured_iters,
+            # end-to-end honesty (round-4 VERDICT): host+device setup wall
+            # for the arbitrary-mesh path, and the BASELINE.md row-32
+            # assembly-throughput north star (operator build only)
+            "unstructured_setup_s": round(t_usetup, 2),
+            "unstructured_assembly_s": round(t_uassemble, 2),
+            "assembly_mdof_per_s": round(u_mdof_s, 2),
         }),
         # Variant metadata so A/B sweep records are self-describing
         # (examples/tpu_revalidation.py runs bench.py under these flags).

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -77,11 +78,39 @@ class SolidOperatorGroupELL:
     # ------------------------------------------------------------------
     @classmethod
     def from_mesh(cls, points, conn, E_mod, nu, weight=None,
-                  dtype=np.float32, kb_dtype=None):
+                  dtype=np.float32, kb_dtype=None, build=None):
         """Build from host mesh arrays. Returns (op, detJ).
 
         kb_dtype: storage dtype for the dense blocks (default = dtype;
-        env FEMX_GROUPELL_KB overrides, e.g. "bfloat16")."""
+        env FEMX_GROUPELL_KB overrides, e.g. "bfloat16").
+
+        build: "device" (default) assembles the blocks ON DEVICE — element
+        stiffness einsum + one flat scatter-add — transferring only the
+        mesh + block-structure indices (~60 MB at 1.39M DOF) instead of
+        the 3.4 GB block tensor; measured 358 s -> ~15 s at the flagship
+        (round-4 profile: numpy ke 144 s + pair aggregation ~100 s +
+        relay transfer 59 s, examples/profile_groupell_setup.py). "host"
+        keeps the exact-f64 numpy aggregation (the parity reference;
+        env FEMX_GROUPELL_BUILD overrides)."""
+        build = (build or os.environ.get("FEMX_GROUPELL_BUILD", "")
+                 or "device")
+        if build == "host":
+            return cls._from_mesh_host(points, conn, E_mod, nu,
+                                       weight=weight, dtype=dtype,
+                                       kb_dtype=kb_dtype)
+        if build != "device":
+            raise ValueError(f"build must be 'device' or 'host', got "
+                             f"{build!r}")
+        return cls._from_mesh_device(points, conn, E_mod, nu,
+                                     weight=weight, dtype=dtype,
+                                     kb_dtype=kb_dtype)
+
+    @classmethod
+    def _from_mesh_host(cls, points, conn, E_mod, nu, weight=None,
+                        dtype=np.float32, kb_dtype=None):
+        """Exact-f64 host aggregation build (the original path — kept as
+        the parity reference for the device build and for environments
+        without a usable accelerator)."""
         from femx.assembly_cluster import _element_stiffness_host
         from femx.elements.tet10 import GAUSS_WEIGHT_CORRECT
         from femx.mesh.reorder import morton_codes
@@ -230,6 +259,207 @@ class SolidOperatorGroupELL:
         op._bd_host = bd
         op._int_of_morton = int_of_morton
         return op, detJ
+
+    @classmethod
+    def _from_mesh_device(cls, points, conn, E_mod, nu, weight=None,
+                          dtype=np.float32, kb_dtype=None):
+        """Device-resident block assembly (the default build).
+
+        Host does only the block STRUCTURE discovery (one np.unique over
+        the 100E block keys + NB-sized bucket bookkeeping); the element
+        stiffness einsum and the value accumulation run ON DEVICE as one
+        compiled chunk program (batched Tet10 einsum -> flat scatter-add
+        into the bucket-major block buffer). Transfers: element coords +
+        connectivity + per-block base offsets (~60 MB at 1.39M DOF)
+        instead of the assembled 3.4 GB block tensor. Values match the
+        host build up to scatter summation order (each 3x3 tile sums the
+        <= ~30 elements sharing its node pair); tests/test_lane_pad.py
+        and test_assembly_groupell.py pin the parity."""
+        from femx.assembly_structured import _material_matrix_np
+        from femx.elements.tet10 import DN_NATURAL, GAUSS_WEIGHT_CORRECT, _SEL
+        from femx.mesh.reorder import morton_codes
+
+        if weight is None:
+            weight = GAUSS_WEIGHT_CORRECT
+        points = np.asarray(points, dtype=np.float64)
+        conn = np.asarray(conn)
+        N, E = len(points), len(conn)
+        n_pad = -(-N // GROUP) * GROUP
+        dt = np.dtype(dtype)
+        kbt = jnp.dtype(kb_dtype
+                        or os.environ.get("FEMX_GROUPELL_KB", "")
+                        or dt)
+
+        # ---- Morton node order (dummies pad the tail) -------------------
+        code = morton_codes(points)
+        perm_m = np.argsort(code, kind="stable")
+        morton_of_old = np.argsort(perm_m, kind="stable")  # mesh -> morton
+        cm = morton_of_old[conn].astype(np.int32)          # (E, 10)
+
+        NP = n_pad // PAIR
+        NG = n_pad // GROUP
+
+        # ---- block structure (one 100E unique; the rest is NB-sized) ----
+        bk = ((cm.astype(np.int64) // PAIR)[:, :, None] * NG
+              + (cm.astype(np.int64) // GROUP)[:, None, :])
+        ublocks = np.unique(bk)                            # sorted (rb, grp)
+        del bk
+        blk_rb = ublocks // NG
+        g_of_rb = np.bincount(blk_rb, minlength=NP)        # groups per pair
+        quant = max(1, int(os.environ.get("FEMX_GROUPELL_QUANT", "1")))
+        gq_of_rb = -(-g_of_rb // quant) * quant            # 0 stays 0
+        order_rb = np.argsort(gq_of_rb, kind="stable")     # bucket-major
+        rank_rb = np.argsort(order_rb, kind="stable")      # morton pair->int
+        new_of_old = (rank_rb[morton_of_old // PAIR] * PAIR
+                      + morton_of_old % PAIR)
+        g_sorted = gq_of_rb[order_rb]
+        counts = np.bincount(g_sorted)
+        cstart = np.r_[0, np.cumsum(counts)][:-1]          # start per g
+        blk_g = gq_of_rb[blk_rb]
+        blk_row = rank_rb[blk_rb] - cstart[blk_g]
+        rb_starts = np.r_[0, np.flatnonzero(np.diff(blk_rb)) + 1]
+        blk_slot = np.arange(len(ublocks)) - np.repeat(
+            rb_starts, np.diff(np.r_[rb_starts, len(ublocks)]))
+
+        gs = np.unique(g_sorted)
+        bucket_g = [int(g) for g in gs]
+        n_of_g = {int(g): int((g_sorted == g).sum()) for g in gs}
+
+        # ---- flat bucket-major layout + per-block base offsets ----------
+        blkw = 6 * 3 * GROUP                               # f32s per block
+        idx_sizes = [n_of_g[g] * g for g in bucket_g]
+        idx_base_b = np.r_[0, np.cumsum(idx_sizes)]
+        kb_base_b = idx_base_b * blkw
+        total = int(kb_base_b[-1])
+        gidx_of = np.zeros(int(gs.max()) + 1, dtype=np.int64)
+        gidx_of[gs] = np.arange(len(gs))
+        blk_gidx = gidx_of[blk_g]
+        within = blk_row.astype(np.int64) * blk_g + blk_slot
+        idx_pos = idx_base_b[blk_gidx] + within
+        idx_all = np.zeros(int(idx_base_b[-1]), dtype=np.int32)
+        idx_all[idx_pos] = (ublocks % NG).astype(np.int32)
+        block_base = kb_base_b[blk_gidx] + within * blkw   # (NB,) int64
+        idt = np.int32 if total < 2**31 else np.int64
+
+        # ---- device accumulation ------------------------------------------
+        # Every dispatch below pays a ~0.6 s REMOTE compile round trip on
+        # the axon deployment, and programs under jax's persistent-cache
+        # time floor recompile every process — so (a) all eager ops are
+        # folded into two jits (_ge_build_chunk + one slicing program),
+        # and (b) the chunk program's array shapes are QUANTIZED (element
+        # count to the chunk size, flat/ublocks/node buffers to coarse
+        # multiples, NG traced) so its one expensive compile persists
+        # across meshes via the compile cache (measured round-4 profile:
+        # 62 remote compiles = 37.6 s on a 56k-DOF mesh with a warm cache).
+        C = _material_matrix_np(E_mod, nu)
+        chat = np.einsum("ack,ab,bdl->ckdl", _SEL, C, _SEL)
+        ar = np.arange(n_pad)
+        int_of_morton = rank_rb[ar // PAIR] * PAIR + ar % PAIR
+
+        def _quant(n, q):
+            """Round n up to a multiple of q, or to a power of two below
+            q — coarse enough that repeat runs and same-family meshes hit
+            the same compiled chunk program, cheap enough (<= q waste)
+            that tiny meshes don't pay a large allocation floor."""
+            n = int(n)
+            if n >= q:
+                return -(-n // q) * q
+            p = 1
+            while p < n:
+                p <<= 1
+            return p
+
+        chunk = int(os.environ.get("FEMX_GROUPELL_CHUNK", "16384"))
+        chunk = max(1, min(chunk, E))
+        E_pad = -(-E // chunk) * chunk
+        conn_p = np.zeros((E_pad, 10), dtype=np.int64)     # pad: node 0
+        conn_p[:E] = conn                                  # (degenerate J ->
+        cm_p = np.zeros((E_pad, 10), dtype=np.int32)       # zero values; any
+        cm_p[:E] = cm                                      # dest is harmless)
+
+        total_a = _quant(total, 1 << 24)                   # <= 64 MB waste
+        npad_a = _quant(n_pad, 1 << 16)
+        NB = len(ublocks)
+        NB_a = _quant(NB, 1 << 20)
+        ub_p = np.full(NB_a, np.iinfo(np.int64).max)       # sentinel tail:
+        ub_p[:NB] = ublocks                                # queries stay < it
+        bb_p = np.zeros(NB_a, dtype=idt)
+        bb_p[:NB] = block_base.astype(idt)
+        iom_p = np.zeros(npad_a, dtype=np.int32)
+        iom_p[:n_pad] = int_of_morton
+
+        ub_d = jnp.asarray(ub_p)
+        bb_d = jnp.asarray(bb_p)
+        iom_d = jnp.asarray(iom_p)
+        chat_d = jnp.asarray(chat.astype(dt))
+        dn_d = jnp.asarray(DN_NATURAL.astype(dt))
+        wgt = jnp.asarray(float(weight), dtype=dt)
+        ng_t = jnp.asarray(NG, dtype=jnp.int64)
+
+        flat = jnp.zeros((total_a,), dtype=dt)
+        bd_dev = jnp.zeros((npad_a, 3, 3), dtype=dt)
+        djs = []
+        for s in range(0, E_pad, chunk):
+            coords = jnp.asarray(
+                points[conn_p[s:s + chunk]].astype(dt))    # (e, 10, 3)
+            cm_c = jnp.asarray(cm_p[s:s + chunk])
+            flat, bd_dev, dj = _ge_build_chunk(
+                flat, bd_dev, coords, cm_c, ub_d, bb_d, iom_d,
+                chat_d, dn_d, wgt, ng_t)
+            djs.append(dj)
+        detJ = np.concatenate([np.asarray(d) for d in djs])[:E]
+
+        # nodal diagonal blocks (internal order) for block-Jacobi; nodes
+        # with no stiffness (dummies / isolated) keep identity so their
+        # inverse blocks stay finite (same rule as the host build)
+        bd = np.asarray(bd_dev)[:n_pad].astype(np.float64)
+        del bd_dev
+        empty = ~(np.abs(bd).reshape(n_pad, 9).max(axis=1) > 0)
+        bd[empty] = np.eye(3)
+
+        # one compiled program slices + reshapes every bucket (38 eager
+        # slice/reshape dispatches would pay 38 remote compiles)
+        shapes = [(n_of_g[g], g) for g in bucket_g]
+        starts = [int(v) for v in kb_base_b[:-1]]
+
+        @jax.jit
+        def _split(fl):
+            out = []
+            for (n_g, g), a in zip(shapes, starts):
+                if g == 0:
+                    out.append(jnp.zeros((n_g, 0, 6, 3 * GROUP), dtype=kbt))
+                    continue
+                kb = jax.lax.dynamic_slice_in_dim(
+                    fl, a, n_g * g * blkw).reshape(n_g, g, 6, 3 * GROUP)
+                out.append(kb.astype(kbt))
+            return tuple(out)
+
+        Kb: List[jnp.ndarray] = list(_split(flat))
+        del flat
+        idx: List[jnp.ndarray] = [
+            jnp.asarray(idx_all[idx_base_b[i]:idx_base_b[i + 1]]
+                        .reshape(n_of_g[g], g) if g > 0
+                        else np.zeros((n_of_g[g], 0), dtype=np.int32))
+            for i, g in enumerate(bucket_g)]
+
+        op = cls(
+            idx=idx,
+            Kb=Kb,
+            bucket_g=bucket_g,
+            pairperm=jnp.asarray(rank_rb.astype(np.int32)),
+            new_of_old=new_of_old,
+            n_nodes=N,
+            n_pad=n_pad,
+            weight=float(weight),
+            io_dtype=dt.name,
+        )
+        op._points = points
+        op._conn = conn
+        op._E_mod = float(E_mod)
+        op._nu = float(nu)
+        op._bd_host = bd
+        op._int_of_morton = int_of_morton
+        return op, np.asarray(detJ)
 
     # -- layout ------------------------------------------------------------
     @property
@@ -398,6 +628,49 @@ def _shadow_unflatten(aux, children):
     hoa, n_nodes, n_pad = aux
     return GroupELLShadow(soa=children[0], new_of_old=hoa.a,
                           n_nodes=n_nodes, n_pad=n_pad)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _ge_build_chunk(flat, bd, coords, cm_c, ublocks, block_base, iom,
+                    chat, dn, weight, NG):
+    """One device assembly chunk: batched Tet10 element stiffness (same
+    contraction as assembly_cluster._element_stiffness_host) + flat
+    scatter-add of every 3x3 (row-node, col-node) tile into the
+    bucket-major block buffer, + nodal diagonal accumulation for
+    block-Jacobi. Padding rows (node 0 everywhere) have singular J ->
+    wdet 0 -> zero values, so their destinations are harmless. Every
+    array shape here is quantized by the caller and NG/weight are traced
+    scalars, so the compile caches across meshes."""
+    hi = jax.lax.Precision.HIGHEST
+    J = jnp.einsum("gkn,enc->egkc", dn, coords, precision=hi)
+    Jinv = jnp.linalg.inv(J)
+    dj = jnp.linalg.det(J)
+    dN = jnp.einsum("egkc,gcn->egkn", Jinv, dn, precision=hi)
+    wdet = jnp.where(dj > 1e-12, dj, 0.0) * weight
+    # accumulate the 4 Gauss points explicitly: the single 4-operand
+    # einsum lets XLA materialize (e,g,10,3,3,3)-class intermediates that
+    # OOM the chip at useful chunk sizes (measured: 13.2 GB program
+    # requirement at chunk 65536)
+    vals = None                                           # (e,10,10,3,3)
+    for g in range(dN.shape[1]):
+        dNg = dN[:, g] * wdet[:, g, None, None]           # (e,3,10)
+        t = jnp.einsum("eki,ckdl->eicdl", dNg, chat, precision=hi)
+        kg = jnp.einsum("eicdl,elj->eijcd", t, dN[:, g], precision=hi)
+        vals = kg if vals is None else vals + kg
+    cml = cm_c.astype(jnp.int64)
+    bk = (cml // PAIR)[:, :, None] * NG + (cml // GROUP)[:, None, :]
+    pblock = jnp.searchsorted(ublocks, bk)                # (e,10,10)
+    bdt = block_base.dtype
+    pr = (cm_c % PAIR)[:, :, None].astype(bdt)
+    pc = (cm_c % GROUP)[:, None, :].astype(bdt)
+    base = block_base[pblock] + pr * (3 * 3 * GROUP) + pc * 3
+    off = (jnp.arange(3, dtype=bdt)[:, None] * (3 * GROUP)
+           + jnp.arange(3, dtype=bdt)[None, :])
+    dest = base[..., None, None] + off
+    flat = flat.at[dest.reshape(-1)].add(vals.reshape(-1))
+    a10 = jnp.arange(10)
+    bd = bd.at[iom[cm_c]].add(vals[:, a10, a10])          # (e,10,3,3)
+    return flat, bd, dj
 
 
 def _contract(got: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:

@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     mb.add_argument("--force", action="append", default=[], help="fx,fy,fz@x,y,z")
     mb.add_argument("--fix", action="append", default=[], help="x,y,z[:axes]")
     mb.add_argument("-o", "--output", default="generated_mesh.msh")
+    mb.add_argument("--html", default=None, metavar="PATH",
+                    help="also export a standalone interactive mesh-preview "
+                         "viewer (wireframe + physical groups + BC markers; "
+                         "the reference's pre-solve gmsh FLTK popup)")
 
     so = sub.add_parser("solid", help="3D solid reaction-force analysis")
     so.add_argument("--msh", help=".msh input (omit with --box to generate)")
@@ -128,11 +132,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resumable solve: persist CG state to PATH.npz "
                          "between iteration chunks and resume from it on "
                          "re-run (crash/preemption recovery)")
-    so.add_argument("--unstructured-op", choices=["tg", "cluster"],
+    so.add_argument("--unstructured-op",
+                    choices=["tg", "cluster", "groupell"],
                     default=None,
                     help="operator family for large unstructured meshes: "
-                         "transpose-gather (default) or Morton-clustered "
-                         "dense blocks (fewer gather rows, heavier build)")
+                         "transpose-gather (default), Morton-clustered "
+                         "dense blocks (fewer gather rows, heavier build) "
+                         "or group-ELL pre-assembled pair/group blocks "
+                         "(fastest apply; pre-assembled block storage "
+                         "grows with mesh size)")
     so.add_argument("--structured-apply", choices=["slot", "conv"],
                     default=None,
                     help="structured-lattice apply form: gather-free slot "
@@ -282,6 +290,10 @@ def main(argv=None) -> int:
         write_msh(args.output, mesh)
         print(f"Wrote {args.output}: {mesh.num_nodes} nodes, "
               f"{len(mesh.cells['tetra10'])} tetra10 elements")
+        if args.html:
+            from femx.viz_html import export_mesh_html
+
+            print(f"Mesh preview: {export_mesh_html(mesh, args.html)}")
         return 0
 
     if args.cmd == "solid":

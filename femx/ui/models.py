@@ -155,6 +155,15 @@ class ReactionCalculatorModel:
             raise RuntimeError("Run the analysis first.")
         return self.analysis_instance.plot(show_window=show_window, filename=filename)
 
+    def preview_mesh(self, filename: str = "mesh_preview.html") -> str:
+        """Pre-solve mesh inspection (the reference's gmsh FLTK popup,
+        gmsh_creation.py:95-97): standalone WebGL wireframe + physical
+        groups + BC markers. Generates the mesh first if needed."""
+        from femx.viz_html import export_mesh_html
+
+        mesh = self._generated_mesh or self.generate_mesh(write=False)
+        return export_mesh_html(mesh, filename)
+
 
 class BeamAnalysisModel:
     """State + operations of the 'Beam analysis' window."""

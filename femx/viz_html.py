@@ -107,6 +107,123 @@ def export_solid_html(analysis, filename: str = "fem_result.html",
     return os.path.abspath(filename)
 
 
+def export_mesh_html(mesh, filename: str = "mesh_preview.html") -> str:
+    """Write a standalone PRE-SOLVE mesh inspector (no analysis needed).
+
+    The reference pops the gmsh FLTK viewer after meshing so the user can
+    check the mesh before solving (gmsh_creation.py:95-97); this is the
+    headless equivalent: surface colored by volume physical group, black
+    wireframe edges, one colored marker per 0-D/vertex physical-group
+    node, and a legend of all physical groups with entity counts.
+    Works for solid (tetra10) and frame (line) meshes."""
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    cells = mesh.cells
+    cell_phys = getattr(mesh, "cell_physical", {}) or {}
+    names_of_tag = {}
+    for name, (tag, _dim) in (getattr(mesh, "field_data", {}) or {}).items():
+        names_of_tag[int(tag)] = name
+
+    palette = np.array([
+        [0.55, 0.63, 0.80], [0.85, 0.65, 0.40], [0.55, 0.78, 0.55],
+        [0.80, 0.55, 0.75], [0.70, 0.70, 0.45], [0.45, 0.75, 0.78],
+    ])
+    marker_palette = np.array([
+        [0.2, 0.4, 1.0], [1.0, 0.25, 0.2], [0.15, 0.7, 0.25],
+        [0.85, 0.6, 0.1], [0.7, 0.2, 0.8],
+    ])
+
+    tris_c = np.zeros((0, 3), dtype=np.int64)
+    lines_c = np.zeros((0, 2), dtype=np.int64)
+    legend = []
+    if "tetra10" in cells:
+        from femx.viz import _surface_triangles
+
+        conn = np.asarray(cells["tetra10"])
+        tris = np.asarray(_surface_triangles(conn))
+        used = np.unique(np.r_[tris.reshape(-1)])
+        vcol = np.full((len(pts), 3), 0.62)
+        phys = np.asarray(cell_phys.get("tetra10",
+                                        np.zeros(len(conn), np.int32)))
+        for i, tag in enumerate(np.unique(phys)):
+            nodes = np.unique(conn[phys == tag][:, :4])
+            vcol[nodes] = palette[i % len(palette)]
+            legend.append(f"{names_of_tag.get(int(tag), f'tag {tag}')}: "
+                          f"{int((phys == tag).sum())} tetra10")
+        tris_c = tris
+        # unique wireframe edges of the surface corner triangles
+        e = np.r_[tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [0, 2]]]
+        lines_c = np.unique(np.sort(e, axis=1), axis=0)
+    elif "line" in cells:
+        conn = np.asarray(cells["line"])
+        used = np.unique(conn.reshape(-1))
+        vcol = np.full((len(pts), 3), 0.2)
+        phys = np.asarray(cell_phys.get("line",
+                                        np.zeros(len(conn), np.int32)))
+        for i, tag in enumerate(np.unique(phys)):
+            nodes = np.unique(conn[phys == tag])
+            vcol[nodes] = palette[i % len(palette)]
+            legend.append(f"{names_of_tag.get(int(tag), f'tag {tag}')}: "
+                          f"{int((phys == tag).sum())} line")
+        lines_c = conn[:, :2]
+    else:
+        raise ValueError("mesh has neither tetra10 nor line cells")
+
+    from femx.mesh.core import nodes_in_physical_group
+
+    markers = []
+    mi = 0
+    for name, (tag, dim) in sorted((getattr(mesh, "field_data", {}) or {})
+                                   .items(), key=lambda kv: kv[1][0]):
+        if dim != 0:
+            continue
+        try:
+            nodes = nodes_in_physical_group(mesh, name)
+        except Exception:
+            continue
+        color = marker_palette[mi % len(marker_palette)]
+        mi += 1
+        legend.append(f"{name}: {len(nodes)} node(s)")
+        for n in np.asarray(nodes)[:500]:
+            p = pts[int(n)]
+            markers.append({
+                "pos": [float(v) for v in p],
+                "disp": [0.0, 0.0, 0.0],
+                "color": [float(c) for c in color],
+                "label": (f"{name} @ ({p[0]:.4g}, {p[1]:.4g}, "
+                          f"{p[2]:.4g})"),
+            })
+
+    # compact to referenced vertices
+    refd = np.unique(np.r_[tris_c.reshape(-1), lines_c.reshape(-1), used])
+    remap = np.full(len(pts), -1, dtype=np.int64)
+    remap[refd] = np.arange(len(refd))
+    p = pts[refd]
+    lo, hi = p.min(axis=0), p.max(axis=0)
+    center = 0.5 * (lo + hi)
+    radius = float(np.linalg.norm(hi - lo)) / 2.0 or 1.0
+
+    data = {
+        "positions": np.round(p, 9).reshape(-1).tolist(),
+        "disps": np.zeros_like(p).reshape(-1).tolist(),
+        "indices": remap[tris_c].reshape(-1).tolist(),
+        "lineIndices": remap[lines_c].reshape(-1).tolist(),
+        "colors": np.round(vcol[refd], 4).reshape(-1).tolist(),
+        "fields": {},
+        "markers": markers,
+        "legend": legend,
+        "center": center.tolist(),
+        "radius": radius,
+        "factor0": 0.0,
+        "title": (f"femx mesh preview — {len(pts)} nodes, "
+                  + ", ".join(f"{len(np.asarray(c))} {k}"
+                              for k, c in cells.items())),
+    }
+    html = _TEMPLATE.replace("__DATA__", json.dumps(data))
+    with open(filename, "w") as f:
+        f.write(html)
+    return os.path.abspath(filename)
+
+
 _TEMPLATE = r"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>femx result viewer</title>
 <style>
@@ -163,6 +280,9 @@ const colB=gl.createBuffer();
 const idxB=buf(new Uint32Array(D.indices),gl.ELEMENT_ARRAY_BUFFER);
 gl.getExtension('OES_element_index_uint');
 const nIdx=D.indices.length, nVert=D.positions.length/3;
+const nLineIdx=(D.lineIndices||[]).length;
+const lineIdxB=nLineIdx?buf(new Uint32Array(D.lineIndices),
+ gl.ELEMENT_ARRAY_BUFFER):null;
 // markers: separate small buffers
 const mPos=[],mDisp=[],mCol=[];
 for(const m of D.markers){mPos.push(...m.pos);mDisp.push(...m.disp);
@@ -188,7 +308,14 @@ function setField(name){const f=D.fields[name];
   g+=`,rgb(${255*c[0]|0},${255*c[1]|0},${255*c[2]|0})`;}
  bar.style.background=g+')';}
 sel.onchange=()=>{setField(sel.value);draw();};
-setField(Object.keys(D.fields)[0]);
+if(Object.keys(D.fields).length){setField(Object.keys(D.fields)[0]);}
+else{ // mesh-preview mode: static per-vertex colors, no scalar bar
+ gl.bindBuffer(gl.ARRAY_BUFFER,colB);
+ gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(
+  D.colors||new Array(nVert*3).fill(0.62)),gl.STATIC_DRAW);
+ document.getElementById('bar').style.display='none';
+ sel.style.display='none';
+}
 // camera
 let theta=0.7,phi=0.9,dist=2.6*D.radius;
 let drag=false,px=0,py=0;
@@ -225,7 +352,7 @@ warp.oninput=()=>{document.getElementById('warpv').textContent=warp.value;draw()
 document.getElementById('warpv').textContent=warp.value;
 document.getElementById('title').textContent=D.title;
 document.getElementById('legend').textContent=
- D.markers.map(m=>m.label).join('\n');
+ (D.legend||[]).concat(D.markers.map(m=>m.label)).join('\n');
 function bind(b,l,n){gl.bindBuffer(gl.ARRAY_BUFFER,b);
  gl.enableVertexAttribArray(l);gl.vertexAttribPointer(l,n,gl.FLOAT,false,0,0);}
 function draw(){
@@ -236,8 +363,13 @@ function draw(){
  gl.uniformMatrix4fv(loc.mvp,false,new Float32Array(mat()));
  gl.uniform1f(loc.warp,parseFloat(warp.value));
  bind(posB,loc.pos,3);bind(dispB,loc.disp,3);bind(colB,loc.col,3);
- gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,idxB);
- gl.drawElements(gl.TRIANGLES,nIdx,gl.UNSIGNED_INT,0);
+ if(nIdx){gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,idxB);
+  gl.drawElements(gl.TRIANGLES,nIdx,gl.UNSIGNED_INT,0);}
+ if(nLineIdx){gl.disableVertexAttribArray(loc.col);
+  gl.vertexAttrib3f(loc.col,0.08,0.08,0.08);
+  gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,lineIdxB);
+  gl.drawElements(gl.LINES,nLineIdx,gl.UNSIGNED_INT,0);
+  gl.enableVertexAttribArray(loc.col);}
  if(D.markers.length){bind(mPosB,loc.pos,3);bind(mDispB,loc.disp,3);
   bind(mColB,loc.col,3);gl.drawArrays(gl.POINTS,0,D.markers.length);}
 }

@@ -147,6 +147,42 @@ def test_kb_bfloat16_storage():
     assert err > 1e-7, "bf16 path suspiciously exact - not exercised?"
 
 
+def test_device_build_matches_host_build():
+    """The default device build (element einsum + flat scatter-add on
+    device) reproduces the exact-f64 host aggregation build: identical
+    structure, blocks to summation-order rounding."""
+    pts, conn = _scrambled_box(mesh_size=0.1)
+    op_h, dj_h = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                                 dtype=np.float64,
+                                                 build="host")
+    op_d, dj_d = SolidOperatorGroupELL.from_mesh(pts, conn, 2e11, 0.3,
+                                                 dtype=np.float64,
+                                                 build="device")
+    assert op_h.bucket_g == op_d.bucket_g
+    assert np.array_equal(op_h.new_of_old, op_d.new_of_old)
+    assert np.array_equal(np.asarray(op_h.pairperm),
+                          np.asarray(op_d.pairperm))
+    np.testing.assert_allclose(np.asarray(dj_d), dj_h, rtol=1e-12)
+    for a, b in zip(op_h.idx, op_d.idx):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(op_h.Kb, op_d.Kb):
+        if a.size:
+            scale = float(jnp.max(jnp.abs(a)))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-13 * scale)
+    scale = np.abs(op_h._bd_host).max()
+    np.testing.assert_allclose(op_d._bd_host, op_h._bd_host,
+                               atol=1e-13 * scale)
+
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(3 * len(pts))
+    yh = op_h.to_global(np.asarray(op_h.apply(
+        jnp.asarray(op_h.to_internal(u)))))
+    yd = op_d.to_global(np.asarray(op_d.apply(
+        jnp.asarray(op_d.to_internal(u)))))
+    np.testing.assert_allclose(yd, yh, atol=1e-12 * np.abs(yh).max())
+
+
 def test_pcg_solve_matches():
     pts, conn = _scrambled_box(mesh_size=0.1)
     C = material_matrix(2e11, 0.3)

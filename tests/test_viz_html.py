@@ -94,3 +94,58 @@ def test_cli_html_flag(tmp_path, monkeypatch, capsys):
     assert "Saved interactive viewer" in capsys.readouterr().out
     D = _extract_data(open(tmp_path / "v.html").read())
     assert len(D["indices"]) > 0
+
+
+def test_mesh_preview_export(tmp_path):
+    """Pre-solve mesh inspector (reference: gmsh FLTK popup,
+    gmsh_creation.py:95-97): wireframe + group coloring + BC markers,
+    no analysis required."""
+    from femx.viz_html import export_mesh_html
+
+    mesh = box_tet10(0.4, 0.2, 0.4, 0.2,
+                     force_points=[(0.2, 0.2, 0.2)],
+                     fix_points=[(0, 0, 0), (0.4, 0, 0.4)])
+    path = export_mesh_html(mesh, str(tmp_path / "preview.html"))
+    html = open(path).read()
+    D = _extract_data(html)
+    n_vert = len(D["positions"]) // 3
+    assert D["fields"] == {}                     # preview mode: no solve
+    assert len(D["colors"]) == 3 * n_vert
+    assert len(D["lineIndices"]) > 0 and len(D["lineIndices"]) % 2 == 0
+    assert max(D["lineIndices"]) < n_vert
+    assert len(D["indices"]) % 3 == 0 and max(D["indices"]) < n_vert
+    # every 0-D physical group shows markers + a legend row
+    marker_labels = " ".join(m["label"] for m in D["markers"])
+    assert "Neumann_BCs" in marker_labels
+    assert "Diri_BCs" in marker_labels
+    assert any("tetra10" in row for row in D["legend"])
+    assert "LINES" in html                       # wireframe draw call
+
+
+def test_mesh_preview_line_mesh(tmp_path):
+    from femx.mesh.generators import cantilever_line_mesh
+    from femx.viz_html import export_mesh_html
+
+    path = export_mesh_html(cantilever_line_mesh(),
+                            str(tmp_path / "beam_preview.html"))
+    D = _extract_data(open(path).read())
+    assert len(D["indices"]) == 0                # no surface triangles
+    assert len(D["lineIndices"]) > 0
+    labels = " ".join(m["label"] for m in D["markers"])
+    assert "fix" in labels and "load_y" in labels
+
+
+def test_cli_mesh_box_html(tmp_path, monkeypatch, capsys):
+    from femx.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "mesh-box", "--dims", "0.4", "0.2", "0.4", "--mesh-size", "0.2",
+        "--force", "0,3000,0@0.2,0.2,0.2", "--fix", "0,0,0:xyz",
+        "-o", str(tmp_path / "m.msh"),
+        "--html", str(tmp_path / "m.html"),
+    ])
+    assert rc == 0
+    assert "Mesh preview" in capsys.readouterr().out
+    D = _extract_data(open(tmp_path / "m.html").read())
+    assert len(D["lineIndices"]) > 0
