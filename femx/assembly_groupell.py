@@ -65,6 +65,18 @@ class SolidOperatorGroupELL:
     n_pad: int                   # internal nodes (multiple of GROUP)
     weight: float
     free_mask: Optional[jnp.ndarray] = None  # (3*n_pad,) internal layout
+    # -- symmetric storage (default): Kb holds only tiles with morton row
+    # node <= col node; apply adds the transpose side from the SAME blocks
+    # (per-block column contributions written flat, accumulated per column
+    # group by degree-bucketed WIDE 48-f32 row gathers — the TG transpose
+    # recipe at block granularity) and subtracts the double-counted nodal
+    # diagonal. Halves the dominant Kb HBM stream AND the storage.
+    symmetric: bool = False
+    tidx: Optional[List[jnp.ndarray]] = None  # per degree bucket (m_d, d)
+    tdeg: Optional[List[int]] = None          # block positions per group
+    out_take: Optional[jnp.ndarray] = None    # (NG,) -> concat row (or zero)
+    ord_rb: Optional[jnp.ndarray] = None      # (NP,) internal -> morton pair
+    bd_dev: Optional[jnp.ndarray] = None      # (n_pad,3,3) true diagonal
     io_dtype: str = "float32"    # vector dtype (u/f/masks); Kb may be
     # stored NARROWER (kb_dtype="bfloat16" halves the dominant HBM stream:
     # 17.5 -> 10.1 ms synthetic apply). MEASURED AND REJECTED as a default
@@ -78,7 +90,8 @@ class SolidOperatorGroupELL:
     # ------------------------------------------------------------------
     @classmethod
     def from_mesh(cls, points, conn, E_mod, nu, weight=None,
-                  dtype=np.float32, kb_dtype=None, build=None):
+                  dtype=np.float32, kb_dtype=None, build=None,
+                  symmetric=None):
         """Build from host mesh arrays. Returns (op, detJ).
 
         kb_dtype: storage dtype for the dense blocks (default = dtype;
@@ -95,6 +108,10 @@ class SolidOperatorGroupELL:
         build = (build or os.environ.get("FEMX_GROUPELL_BUILD", "")
                  or "device")
         if build == "host":
+            if symmetric:
+                raise ValueError(
+                    "symmetric storage is device-build only (the host "
+                    "build is the full-storage parity reference)")
             return cls._from_mesh_host(points, conn, E_mod, nu,
                                        weight=weight, dtype=dtype,
                                        kb_dtype=kb_dtype)
@@ -103,7 +120,7 @@ class SolidOperatorGroupELL:
                              f"{build!r}")
         return cls._from_mesh_device(points, conn, E_mod, nu,
                                      weight=weight, dtype=dtype,
-                                     kb_dtype=kb_dtype)
+                                     kb_dtype=kb_dtype, symmetric=symmetric)
 
     @classmethod
     def _from_mesh_host(cls, points, conn, E_mod, nu, weight=None,
@@ -262,7 +279,7 @@ class SolidOperatorGroupELL:
 
     @classmethod
     def _from_mesh_device(cls, points, conn, E_mod, nu, weight=None,
-                          dtype=np.float32, kb_dtype=None):
+                          dtype=np.float32, kb_dtype=None, symmetric=None):
         """Device-resident block assembly (the default build).
 
         Host does only the block STRUCTURE discovery (one np.unique over
@@ -281,6 +298,8 @@ class SolidOperatorGroupELL:
 
         if weight is None:
             weight = GAUSS_WEIGHT_CORRECT
+        if symmetric is None:
+            symmetric = os.environ.get("FEMX_GROUPELL_SYM", "0") == "1"
         points = np.asarray(points, dtype=np.float64)
         conn = np.asarray(conn)
         N, E = len(points), len(conn)
@@ -300,10 +319,19 @@ class SolidOperatorGroupELL:
         NG = n_pad // GROUP
 
         # ---- block structure (one 100E unique; the rest is NB-sized) ----
-        bk = ((cm.astype(np.int64) // PAIR)[:, :, None] * NG
-              + (cm.astype(np.int64) // GROUP)[:, None, :])
-        ublocks = np.unique(bk)                            # sorted (rb, grp)
-        del bk
+        cml = cm.astype(np.int64)
+        bk = (cml // PAIR)[:, :, None] * NG + (cml // GROUP)[:, None, :]
+        if symmetric:
+            # store each (row node, col node) tile once: keep r <= c in
+            # morton order; the apply reconstructs the lower half from
+            # the same blocks (transpose side) minus the double-counted
+            # nodal diagonal
+            keep = cml[:, :, None] <= cml[:, None, :]
+            ublocks = np.unique(bk[keep])
+        else:
+            keep = None
+            ublocks = np.unique(bk)                        # sorted (rb, grp)
+        del cml
         blk_rb = ublocks // NG
         g_of_rb = np.bincount(blk_rb, minlength=NP)        # groups per pair
         quant = max(1, int(os.environ.get("FEMX_GROUPELL_QUANT", "1")))
@@ -347,14 +375,33 @@ class SolidOperatorGroupELL:
         # time floor recompile every process — so (a) all eager ops are
         # folded into two jits (_ge_build_chunk + one slicing program),
         # and (b) the chunk program's array shapes are QUANTIZED (element
-        # count to the chunk size, flat/ublocks/node buffers to coarse
-        # multiples, NG traced) so its one expensive compile persists
-        # across meshes via the compile cache (measured round-4 profile:
-        # 62 remote compiles = 37.6 s on a 56k-DOF mesh with a warm cache).
+        # count to the chunk size, flat/node buffers to coarse multiples)
+        # so its one expensive compile persists across meshes via the
+        # compile cache (measured round-4 profile: 62 remote compiles =
+        # 37.6 s on a 56k-DOF mesh with a warm cache). Tile destinations
+        # are resolved on HOST (vectorized searchsorted, ~1 s for 33M
+        # tiles at the flagship) — the device-side searchsorted variant
+        # measured ~20 s of binary-search gathers per build.
         C = _material_matrix_np(E_mod, nu)
         chat = np.einsum("ack,ab,bdl->ckdl", _SEL, C, _SEL)
         ar = np.arange(n_pad)
         int_of_morton = rank_rb[ar // PAIR] * PAIR + ar % PAIR
+
+        # per-tile destination base (start of the 3x3 tile in flat);
+        # dropped (r > c) tiles in symmetric mode encode as -1 -> the
+        # chunk program zeroes their values and dumps them at slot 0
+        pblock = np.searchsorted(ublocks, bk)
+        if symmetric:
+            pblock = np.where(keep, pblock, 0)
+        pr = (cm % PAIR).astype(np.int64)
+        pc = (cm % GROUP).astype(np.int64)
+        tile_base = (block_base[pblock]
+                     + pr[:, :, None] * (3 * 3 * GROUP)
+                     + pc[:, None, :] * 3).astype(idt)
+        if symmetric:
+            tile_base[~keep] = -1
+            del keep
+        del bk, pblock, pr, pc
 
         def _quant(n, q):
             """Round n up to a multiple of q, or to a power of two below
@@ -374,40 +421,32 @@ class SolidOperatorGroupELL:
         E_pad = -(-E // chunk) * chunk
         conn_p = np.zeros((E_pad, 10), dtype=np.int64)     # pad: node 0
         conn_p[:E] = conn                                  # (degenerate J ->
-        cm_p = np.zeros((E_pad, 10), dtype=np.int32)       # zero values; any
-        cm_p[:E] = cm                                      # dest is harmless)
+        base_p = np.zeros((E_pad, 10, 10), dtype=idt)      # zero values; any
+        base_p[:E] = tile_base                             # dest is harmless)
+        del tile_base
+        iomc_p = np.zeros((E_pad, 10), dtype=np.int32)
+        iomc_p[:E] = int_of_morton[cm]
 
         total_a = _quant(total, 1 << 24)                   # <= 64 MB waste
         npad_a = _quant(n_pad, 1 << 16)
-        NB = len(ublocks)
-        NB_a = _quant(NB, 1 << 20)
-        ub_p = np.full(NB_a, np.iinfo(np.int64).max)       # sentinel tail:
-        ub_p[:NB] = ublocks                                # queries stay < it
-        bb_p = np.zeros(NB_a, dtype=idt)
-        bb_p[:NB] = block_base.astype(idt)
-        iom_p = np.zeros(npad_a, dtype=np.int32)
-        iom_p[:n_pad] = int_of_morton
 
-        ub_d = jnp.asarray(ub_p)
-        bb_d = jnp.asarray(bb_p)
-        iom_d = jnp.asarray(iom_p)
         chat_d = jnp.asarray(chat.astype(dt))
         dn_d = jnp.asarray(DN_NATURAL.astype(dt))
         wgt = jnp.asarray(float(weight), dtype=dt)
-        ng_t = jnp.asarray(NG, dtype=jnp.int64)
 
         flat = jnp.zeros((total_a,), dtype=dt)
-        bd_dev = jnp.zeros((npad_a, 3, 3), dtype=dt)
+        bd_dev = jnp.zeros((npad_a * 9,), dtype=dt)
         djs = []
         for s in range(0, E_pad, chunk):
             coords = jnp.asarray(
                 points[conn_p[s:s + chunk]].astype(dt))    # (e, 10, 3)
-            cm_c = jnp.asarray(cm_p[s:s + chunk])
+            base_c = jnp.asarray(base_p[s:s + chunk])
+            iomc_c = jnp.asarray(iomc_p[s:s + chunk])
             flat, bd_dev, dj = _ge_build_chunk(
-                flat, bd_dev, coords, cm_c, ub_d, bb_d, iom_d,
-                chat_d, dn_d, wgt, ng_t)
+                flat, bd_dev, coords, base_c, iomc_c, chat_d, dn_d, wgt)
             djs.append(dj)
         detJ = np.concatenate([np.asarray(d) for d in djs])[:E]
+        bd_dev = bd_dev.reshape(npad_a, 3, 3)
 
         # nodal diagonal blocks (internal order) for block-Jacobi; nodes
         # with no stiffness (dummies / isolated) keep identity so their
@@ -442,6 +481,44 @@ class SolidOperatorGroupELL:
                         else np.zeros((n_of_g[g], 0), dtype=np.int32))
             for i, g in enumerate(bucket_g)]
 
+        sym_fields = {}
+        if symmetric:
+            # transpose-side structure: per column group, the flat
+            # positions (bucket-major block order) of its incident
+            # blocks, bucketed by incidence degree — accumulated in the
+            # apply as degree-bucketed WIDE 48-f32 row gathers over the
+            # per-block contribution table
+            q = (ublocks % NG).astype(np.int64)
+            ordq = np.argsort(q, kind="stable")
+            pos_s = idx_pos[ordq].astype(np.int64)
+            deg = np.bincount(q, minlength=NG)
+            gstart = np.r_[0, np.cumsum(deg)][:-1]
+            ds = np.unique(deg[deg > 0])
+            tidx = []
+            tdeg = []
+            tgroups = []
+            for d in ds:
+                sel = np.flatnonzero(deg == d)
+                tidx.append(jnp.asarray(
+                    (pos_s[gstart[sel][:, None] + np.arange(d)[None, :]])
+                    .astype(np.int32)))
+                tdeg.append(int(d))
+                tgroups.append(sel)
+            cat = np.concatenate(tgroups) if tgroups else np.zeros(
+                0, np.int64)
+            out_take = np.full(NG, len(cat), dtype=np.int32)  # zero row
+            out_take[cat] = np.arange(len(cat), dtype=np.int32)
+            bd_true = bd.copy()
+            bd_true[empty] = 0.0
+            sym_fields = dict(
+                symmetric=True,
+                tidx=tidx,
+                tdeg=tdeg,
+                out_take=jnp.asarray(out_take),
+                ord_rb=jnp.asarray(order_rb.astype(np.int32)),
+                bd_dev=jnp.asarray(bd_true.astype(dt)),
+            )
+
         op = cls(
             idx=idx,
             Kb=Kb,
@@ -452,6 +529,7 @@ class SolidOperatorGroupELL:
             n_pad=n_pad,
             weight=float(weight),
             io_dtype=dt.name,
+            **sym_fields,
         )
         op._points = points
         op._conn = conn
@@ -529,10 +607,13 @@ class SolidOperatorGroupELL:
         u6m = u6[self.pairperm]                  # -> morton pair order
         u16 = u6m.reshape(-1, 3 * GROUP)         # (NG, 48) group table
         outs = []
+        c2s = []
+        off = 0
         for ii, kk, g in zip(self.idx, self.Kb, self.bucket_g):
+            n_g = ii.shape[0]
             if g == 0:
-                outs.append(jnp.zeros((ii.shape[0], 3 * PAIR),
-                                      dtype=u.dtype))
+                outs.append(jnp.zeros((n_g, 3 * PAIR), dtype=u.dtype))
+                off += n_g
                 continue
             got = u16[ii]                        # (n_g, g, 48) wide rows
             if kk.dtype != got.dtype:            # narrow Kb storage: cast
@@ -540,7 +621,38 @@ class SolidOperatorGroupELL:
                 outs.append(_contract(got, kk).astype(u.dtype))  # the MXU
             else:
                 outs.append(_contract(got, kk))
-        return jnp.concatenate(outs).reshape(-1)
+            if self.symmetric:
+                # per-block COLUMN contributions K_b^T u_pair (48,) from
+                # the same Kb stream; bucket pairs are contiguous in the
+                # internal order so no gather is needed for u here
+                ub = u6[off:off + n_g]           # (n_g, 6)
+                if kk.dtype != ub.dtype:
+                    c2 = jnp.einsum("nr,ngrw->ngw", ub.astype(kk.dtype),
+                                    kk, precision=jax.lax.Precision.HIGHEST
+                                    ).astype(u.dtype)
+                else:
+                    c2 = jnp.einsum("nr,ngrw->ngw", ub, kk,
+                                    precision=jax.lax.Precision.HIGHEST)
+                c2s.append(c2.reshape(n_g * g, 3 * GROUP))
+            off += n_g
+        y1 = jnp.concatenate(outs)               # (NP, 6) internal order
+        if not self.symmetric:
+            return y1.reshape(-1)
+        # transpose side: accumulate block contributions per column group
+        # (degree-bucketed wide row gathers), reorder to morton groups,
+        # convert to the internal pair order, subtract the double-counted
+        # nodal diagonal
+        c2 = jnp.concatenate(c2s) if c2s else jnp.zeros(
+            (0, 3 * GROUP), dtype=u.dtype)
+        parts = [c2[tt].sum(axis=1) for tt in self.tidx]  # (m_d, 48)
+        parts.append(jnp.zeros((1, 3 * GROUP), dtype=u.dtype))
+        y2m = jnp.concatenate(parts)[self.out_take]       # (NG, 48) morton
+        y2m6 = y2m.reshape(-1, 3 * PAIR)                  # morton pairs
+        y2 = y2m6[self.ord_rb]                            # internal pairs
+        du = jnp.einsum("ncd,nd->nc", self.bd_dev,
+                        u.reshape(-1, 3),
+                        precision=jax.lax.Precision.HIGHEST)
+        return (y1 + y2).reshape(-1) - du.reshape(-1)
 
     def apply_constrained(self, u: jnp.ndarray) -> jnp.ndarray:
         s = self.free_mask
@@ -631,20 +743,33 @@ def _shadow_unflatten(aux, children):
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _ge_build_chunk(flat, bd, coords, cm_c, ublocks, block_base, iom,
-                    chat, dn, weight, NG):
+def _ge_build_chunk(flat, bd, coords, base_c, iomc_c, chat, dn, weight):
     """One device assembly chunk: batched Tet10 element stiffness (same
     contraction as assembly_cluster._element_stiffness_host) + flat
     scatter-add of every 3x3 (row-node, col-node) tile into the
     bucket-major block buffer, + nodal diagonal accumulation for
-    block-Jacobi. Padding rows (node 0 everywhere) have singular J ->
-    wdet 0 -> zero values, so their destinations are harmless. Every
-    array shape here is quantized by the caller and NG/weight are traced
-    scalars, so the compile caches across meshes."""
+    block-Jacobi. base_c holds HOST-resolved per-tile destinations
+    (-1 = dropped tile in symmetric storage -> value zeroed, dumped at
+    slot 0). Padding rows (node 0 everywhere) have singular J -> wdet 0
+    -> zero values, so their destinations are harmless. Every array
+    shape here is quantized by the caller and weight is traced, so the
+    compile caches across meshes."""
     hi = jax.lax.Precision.HIGHEST
     J = jnp.einsum("gkn,enc->egkc", dn, coords, precision=hi)
-    Jinv = jnp.linalg.inv(J)
-    dj = jnp.linalg.det(J)
+    # closed-form 3x3 det/inverse (adjugate): jnp.linalg lowers batched
+    # LU machinery that costs compile time on TPU for no accuracy gain
+    # at this size
+    a = J[..., 0, 0]; b = J[..., 0, 1]; c = J[..., 0, 2]
+    d = J[..., 1, 0]; e = J[..., 1, 1]; f = J[..., 1, 2]
+    g = J[..., 2, 0]; h = J[..., 2, 1]; i = J[..., 2, 2]
+    A = e * i - f * h; B = c * h - b * i; Cc = b * f - c * e
+    D = f * g - d * i; E = a * i - c * g; F = c * d - a * f
+    G = d * h - e * g; H = b * g - a * h; I = a * e - b * d
+    dj = a * A + b * D + c * G
+    adj = jnp.stack([jnp.stack([A, B, Cc], -1),
+                     jnp.stack([D, E, F], -1),
+                     jnp.stack([G, H, I], -1)], -2)
+    Jinv = adj / jnp.where(dj == 0.0, 1.0, dj)[..., None, None]
     dN = jnp.einsum("egkc,gcn->egkn", Jinv, dn, precision=hi)
     wdet = jnp.where(dj > 1e-12, dj, 0.0) * weight
     # accumulate the 4 Gauss points explicitly: the single 4-operand
@@ -657,19 +782,21 @@ def _ge_build_chunk(flat, bd, coords, cm_c, ublocks, block_base, iom,
         t = jnp.einsum("eki,ckdl->eicdl", dNg, chat, precision=hi)
         kg = jnp.einsum("eicdl,elj->eijcd", t, dN[:, g], precision=hi)
         vals = kg if vals is None else vals + kg
-    cml = cm_c.astype(jnp.int64)
-    bk = (cml // PAIR)[:, :, None] * NG + (cml // GROUP)[:, None, :]
-    pblock = jnp.searchsorted(ublocks, bk)                # (e,10,10)
-    bdt = block_base.dtype
-    pr = (cm_c % PAIR)[:, :, None].astype(bdt)
-    pc = (cm_c % GROUP)[:, None, :].astype(bdt)
-    base = block_base[pblock] + pr * (3 * 3 * GROUP) + pc * 3
+    a10 = jnp.arange(10)
+    vdiag = vals[:, a10, a10]                             # (e,10,3,3)
+    bdt = base_c.dtype
+    dropped = base_c < 0                                  # (e,10,10)
+    vals = vals * (1.0 - dropped.astype(vals.dtype))[..., None, None]
+    base = jnp.where(dropped, 0, base_c)
     off = (jnp.arange(3, dtype=bdt)[:, None] * (3 * GROUP)
            + jnp.arange(3, dtype=bdt)[None, :])
     dest = base[..., None, None] + off
     flat = flat.at[dest.reshape(-1)].add(vals.reshape(-1))
-    a10 = jnp.arange(10)
-    bd = bd.at[iom[cm_c]].add(vals[:, a10, a10])          # (e,10,3,3)
+    # nodal diagonal: scalar-index form (windowed row scatter measured
+    # 6.6x more ns/value on this chip)
+    bdest = (iomc_c.astype(jnp.int32) * 9)[..., None] + jnp.arange(
+        9, dtype=jnp.int32)
+    bd = bd.at[bdest.reshape(-1)].add(vdiag.reshape(-1))
     return flat, bd, dj
 
 
@@ -698,15 +825,19 @@ def _copy_host(src, dst):
 
 
 def _ge_flatten(op: SolidOperatorGroupELL):
-    children = (tuple(op.idx), tuple(op.Kb), op.pairperm, op.free_mask)
+    children = (tuple(op.idx), tuple(op.Kb), op.pairperm, op.free_mask,
+                tuple(op.tidx) if op.tidx is not None else None,
+                op.out_take, op.ord_rb, op.bd_dev)
     aux = (tuple(op.bucket_g), _HostArr(op.new_of_old), op.n_nodes,
-           op.n_pad, op.weight, op.io_dtype)
+           op.n_pad, op.weight, op.io_dtype, op.symmetric,
+           tuple(op.tdeg) if op.tdeg is not None else None)
     return children, aux
 
 
 def _ge_unflatten(aux, children):
-    idx, Kb, pairperm, free_mask = children
-    bucket_g, hoa, n_nodes, n_pad, weight, io_dtype = aux
+    idx, Kb, pairperm, free_mask, tidx, out_take, ord_rb, bd_dev = children
+    (bucket_g, hoa, n_nodes, n_pad, weight, io_dtype, symmetric,
+     tdeg) = aux
     op = object.__new__(SolidOperatorGroupELL)
     op.idx = list(idx)
     op.Kb = list(Kb)
@@ -718,6 +849,12 @@ def _ge_unflatten(aux, children):
     op.n_pad = n_pad
     op.weight = weight
     op.io_dtype = io_dtype
+    op.symmetric = symmetric
+    op.tidx = list(tidx) if tidx is not None else None
+    op.tdeg = list(tdeg) if tdeg is not None else None
+    op.out_take = out_take
+    op.ord_rb = ord_rb
+    op.bd_dev = bd_dev
     return op
 
 
