@@ -364,7 +364,30 @@ def _read_msh_binary(data: bytes) -> Mesh:
 
 
 def read_msh(path_or_text) -> Mesh:
-    """Read a Gmsh .msh file — ASCII or binary, format 2.2 or 4.1."""
+    """Read a Gmsh .msh file — ASCII or binary, format 2.2 or 4.1.
+
+    Anything femx's own parser rejects (other .msh revisions, other mesh
+    formats) falls back to ``meshio.read`` when meshio is installed —
+    the reference ingests every mesh through meshio
+    (ReactionSolver.py:62, BeamSolver.py:207-220), so femx accepts at
+    least that set wherever meshio is available."""
+    is_path = not (hasattr(path_or_text, "read")
+                   or isinstance(path_or_text, (bytes, bytearray))
+                   or (isinstance(path_or_text, str)
+                       and "$MeshFormat" in path_or_text))
+    try:
+        return _read_msh_native(path_or_text)
+    except ValueError as parse_err:
+        if not is_path:
+            raise
+        try:
+            import meshio  # optional; absent in the femx CI image
+        except ImportError:
+            raise parse_err
+        return _from_meshio(meshio.read(path_or_text))
+
+
+def _read_msh_native(path_or_text) -> Mesh:
     if hasattr(path_or_text, "read"):
         raw = path_or_text.read()
     elif isinstance(path_or_text, (bytes, bytearray)):
@@ -404,6 +427,37 @@ def read_msh(path_or_text) -> Mesh:
         mesh = _read_msh22(sections)
     else:
         raise ValueError(f"Unsupported .msh version {version_s}")
+    mesh.validate()
+    return mesh
+
+
+def _from_meshio(m) -> Mesh:
+    """Convert a ``meshio.Mesh`` to femx's Mesh (same physical-group
+    contract the reference relies on: field_data name -> (tag, dim),
+    cell_data 'gmsh:physical' per block)."""
+    cells = {}
+    cell_physical = {}
+    phys = {}
+    try:
+        phys = m.cell_data_dict.get("gmsh:physical", {})
+    except Exception:
+        pass
+    for block in m.cells:
+        name, data = block.type, np.asarray(block.data)
+        if name in cells:
+            cells[name] = np.concatenate([cells[name], data])
+        else:
+            cells[name] = data
+    for name, tags in phys.items():
+        cell_physical[name] = np.asarray(tags, dtype=np.int32).reshape(-1)
+    field_data = {
+        str(k): (int(np.asarray(v).reshape(-1)[0]),
+                 int(np.asarray(v).reshape(-1)[1]))
+        for k, v in (m.field_data or {}).items()
+    }
+    mesh = Mesh(points=np.asarray(m.points, dtype=np.float64),
+                cells=cells, cell_physical=cell_physical,
+                field_data=field_data)
     mesh.validate()
     return mesh
 

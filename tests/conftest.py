@@ -38,6 +38,12 @@ def pytest_configure(config):
 # threshold: both reference goldens (the parity canaries) and the docx
 # report test. Prefix match so parametrized ids stay covered.
 _SLOW_TESTS = (
+    # 2026-08-20 (round 5): group-ELL suite additions measured >= ~10 s
+    # solo; the device-vs-host parity + pcg canaries stay fast.
+    "test_assembly_groupell.py::test_pipeline_route_groupell",
+    "test_assembly_groupell.py::test_apply_matches_einsum_operator",
+    "test_assembly_groupell.py::test_symmetric_storage_matches_full",
+    "test_assembly_groupell.py::test_constrained_apply_diagonal_block_jacobi",
     # 2026-08-19 re-measure (fast lane had crept to 666 s): the 2D-product
     # and refinement tests below postdate the original list.
     "test_refined.py::test_mixed_outer_f64_with_f32_vcycle_preconditioner",

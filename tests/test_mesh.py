@@ -285,3 +285,45 @@ def test_box_bc_point_embedding_solve_equilibrium():
     np.testing.assert_allclose(np.asarray(mesh.points)[node], p_exact,
                                atol=1e-12)
     np.testing.assert_allclose(fa.equilibrium_residual(), 0.0, atol=1e-7)
+
+
+def test_meshio_fallback_for_foreign_formats(tmp_path, monkeypatch):
+    """Files femx's own parser rejects fall back to meshio when installed
+    (the reference ingests everything through meshio,
+    ReactionSolver.py:62). meshio is absent in this image, so a stub
+    stands in; without it the native error propagates."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from femx.mesh import read_msh
+    from femx.mesh.generators import cantilever_line_mesh
+
+    src = cantilever_line_mesh()
+    bogus = tmp_path / "mesh.vtk"          # not a .msh at all
+    bogus.write_text("# vtk DataFile Version 3.0\n")
+
+    # without meshio: the native parser's error propagates
+    sys.modules.pop("meshio", None)
+    with pytest.raises(ValueError):
+        read_msh(str(bogus))
+
+    class _Block:
+        def __init__(self, t, d):
+            self.type, self.data = t, d
+
+    fake_mesh = types.SimpleNamespace(
+        points=np.asarray(src.points),
+        cells=[_Block("line", np.asarray(src.cells["line"]))],
+        cell_data_dict={"gmsh:physical":
+                        {"line": np.asarray(src.cell_physical["line"])}},
+        field_data={k: np.asarray(v) for k, v in src.field_data.items()},
+    )
+    fake = types.ModuleType("meshio")
+    fake.read = lambda path: fake_mesh
+    monkeypatch.setitem(sys.modules, "meshio", fake)
+    m = read_msh(str(bogus))
+    assert "line" in m.cells
+    assert set(m.field_data) == set(src.field_data)
+    np.testing.assert_array_equal(m.cells["line"], src.cells["line"])
