@@ -387,21 +387,7 @@ class SolidOperatorGroupELL:
         ar = np.arange(n_pad)
         int_of_morton = rank_rb[ar // PAIR] * PAIR + ar % PAIR
 
-        # per-tile destination base (start of the 3x3 tile in flat);
-        # dropped (r > c) tiles in symmetric mode encode as -1 -> the
-        # chunk program zeroes their values and dumps them at slot 0
-        pblock = np.searchsorted(ublocks, bk)
-        if symmetric:
-            pblock = np.where(keep, pblock, 0)
-        pr = (cm % PAIR).astype(np.int64)
-        pc = (cm % GROUP).astype(np.int64)
-        tile_base = (block_base[pblock]
-                     + pr[:, :, None] * (3 * 3 * GROUP)
-                     + pc[:, None, :] * 3).astype(idt)
-        if symmetric:
-            tile_base[~keep] = -1
-            del keep
-        del bk, pblock, pr, pc
+        del bk, keep
 
         def _quant(n, q):
             """Round n up to a multiple of q, or to a power of two below
@@ -421,31 +407,65 @@ class SolidOperatorGroupELL:
         E_pad = -(-E // chunk) * chunk
         conn_p = np.zeros((E_pad, 10), dtype=np.int64)     # pad: node 0
         conn_p[:E] = conn                                  # (degenerate J ->
-        base_p = np.zeros((E_pad, 10, 10), dtype=idt)      # zero values; any
-        base_p[:E] = tile_base                             # dest is harmless)
-        del tile_base
-        iomc_p = np.zeros((E_pad, 10), dtype=np.int32)
-        iomc_p[:E] = int_of_morton[cm]
+        cm_p = np.zeros((E_pad, 10), dtype=np.int32)       # zero values; any
+        cm_p[:E] = cm                                      # dest is harmless)
 
         total_a = _quant(total, 1 << 24)                   # <= 64 MB waste
         npad_a = _quant(n_pad, 1 << 16)
+        NB = len(ublocks)
+        NB_a = _quant(NB, 1 << 20)
+        # per-block lookup tables for the ON-DEVICE tile-destination
+        # resolution (searchsorted + base arithmetic live in the chunk
+        # program: this host has ONE CPU, and the numpy equivalents
+        # measured ~35 s at the flagship vs a few device-seconds)
+        ub_p = np.full(NB_a, np.iinfo(np.int64).max)       # sentinel tail:
+        ub_p[:NB] = ublocks                                # queries stay < it
+        bb_p = np.zeros(NB_a, dtype=idt)
+        bb_p[:NB] = block_base.astype(idt)
+        iom_p = np.zeros(npad_a, dtype=np.int32)
+        iom_p[:n_pad] = int_of_morton
 
+        import time as _time
+
+        _dbg = os.environ.get("FEMX_GROUPELL_DEBUG") == "1"
+        _t = _time.perf_counter
+
+        def _mark(label, prev, sync=None):
+            if not _dbg:
+                return prev
+            if sync is not None:
+                jax.block_until_ready(sync)
+            now = _t()
+            print(f"      [groupell build] {label}: {now - prev:.2f}s",
+                  file=__import__('sys').stderr, flush=True)
+            return now
+
+        t_s = _t()
         chat_d = jnp.asarray(chat.astype(dt))
         dn_d = jnp.asarray(DN_NATURAL.astype(dt))
         wgt = jnp.asarray(float(weight), dtype=dt)
+        ub_d = jnp.asarray(ub_p)
+        bb_d = jnp.asarray(bb_p)
+        iom_d = jnp.asarray(iom_p)
+        ng_t = jnp.asarray(NG, dtype=jnp.int64)
 
         flat = jnp.zeros((total_a,), dtype=dt)
         bd_dev = jnp.zeros((npad_a * 9,), dtype=dt)
+        t_s = _mark("zeros+tables", t_s, (flat, bd_dev, ub_d, bb_d))
         djs = []
         for s in range(0, E_pad, chunk):
             coords = jnp.asarray(
                 points[conn_p[s:s + chunk]].astype(dt))    # (e, 10, 3)
-            base_c = jnp.asarray(base_p[s:s + chunk])
-            iomc_c = jnp.asarray(iomc_p[s:s + chunk])
+            cm_c = jnp.asarray(cm_p[s:s + chunk])
+            t_s = _mark(f"chunk {s // chunk} transfer", t_s,
+                        (coords, cm_c))
             flat, bd_dev, dj = _ge_build_chunk(
-                flat, bd_dev, coords, base_c, iomc_c, chat_d, dn_d, wgt)
+                flat, bd_dev, coords, cm_c, ub_d, bb_d, iom_d, chat_d,
+                dn_d, wgt, ng_t, symmetric)
+            t_s = _mark(f"chunk {s // chunk} exec", t_s, dj)
             djs.append(dj)
         detJ = np.concatenate([np.asarray(d) for d in djs])[:E]
+        t_s = _mark("detJ readback", t_s)
         bd_dev = bd_dev.reshape(npad_a, 3, 3)
 
         # nodal diagonal blocks (internal order) for block-Jacobi; nodes
@@ -453,6 +473,7 @@ class SolidOperatorGroupELL:
         # inverse blocks stay finite (same rule as the host build)
         bd = np.asarray(bd_dev)[:n_pad].astype(np.float64)
         del bd_dev
+        t_s = _mark("bd readback", t_s)
         empty = ~(np.abs(bd).reshape(n_pad, 9).max(axis=1) > 0)
         bd[empty] = np.eye(3)
 
@@ -475,6 +496,7 @@ class SolidOperatorGroupELL:
 
         Kb: List[jnp.ndarray] = list(_split(flat))
         del flat
+        t_s = _mark("split", t_s, Kb)
         idx: List[jnp.ndarray] = [
             jnp.asarray(idx_all[idx_base_b[i]:idx_base_b[i + 1]]
                         .reshape(n_of_g[g], g) if g > 0
@@ -742,18 +764,21 @@ def _shadow_unflatten(aux, children):
                           n_nodes=n_nodes, n_pad=n_pad)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _ge_build_chunk(flat, bd, coords, base_c, iomc_c, chat, dn, weight):
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(11,))
+def _ge_build_chunk(flat, bd, coords, cm_c, ublocks, block_base, iom,
+                    chat, dn, weight, NG, sym=False):
     """One device assembly chunk: batched Tet10 element stiffness (same
-    contraction as assembly_cluster._element_stiffness_host) + flat
-    scatter-add of every 3x3 (row-node, col-node) tile into the
-    bucket-major block buffer, + nodal diagonal accumulation for
-    block-Jacobi. base_c holds HOST-resolved per-tile destinations
-    (-1 = dropped tile in symmetric storage -> value zeroed, dumped at
-    slot 0). Padding rows (node 0 everywhere) have singular J -> wdet 0
-    -> zero values, so their destinations are harmless. Every array
-    shape here is quantized by the caller and weight is traced, so the
-    compile caches across meshes."""
+    contraction as assembly_cluster._element_stiffness_host), ON-DEVICE
+    tile-destination resolution (searchsorted over the padded block-key
+    table + base arithmetic — the numpy equivalents cost ~35 s at the
+    flagship on this single-CPU host), flat scatter-add of every 3x3
+    (row-node, col-node) tile into the bucket-major block buffer, and
+    nodal diagonal accumulation for block-Jacobi. In symmetric mode the
+    dropped (r > c) tiles are zero-valued, so whatever (clamped)
+    destination their nonexistent block key resolves to is harmless —
+    as are the padding rows (node 0 everywhere: singular J -> wdet 0).
+    Every array shape here is quantized by the caller and NG/weight are
+    traced, so the compile caches across meshes."""
     hi = jax.lax.Precision.HIGHEST
     J = jnp.einsum("gkn,enc->egkc", dn, coords, precision=hi)
     # closed-form 3x3 det/inverse (adjugate): jnp.linalg lowers batched
@@ -784,18 +809,25 @@ def _ge_build_chunk(flat, bd, coords, base_c, iomc_c, chat, dn, weight):
         vals = kg if vals is None else vals + kg
     a10 = jnp.arange(10)
     vdiag = vals[:, a10, a10]                             # (e,10,3,3)
-    bdt = base_c.dtype
-    dropped = base_c < 0                                  # (e,10,10)
-    vals = vals * (1.0 - dropped.astype(vals.dtype))[..., None, None]
-    base = jnp.where(dropped, 0, base_c)
+    cml = cm_c.astype(jnp.int64)
+    if sym:
+        # symmetric storage: zero the dropped (r > c) tiles — their
+        # (possibly nonexistent) destinations then receive harmless 0.0
+        keep = (cml[:, :, None] <= cml[:, None, :])
+        vals = vals * keep[..., None, None].astype(vals.dtype)
+    bk = (cml // PAIR)[:, :, None] * NG + (cml // GROUP)[:, None, :]
+    pblock = jnp.searchsorted(ublocks, bk)                # (e,10,10)
+    bdt = block_base.dtype
+    pr = (cm_c % PAIR)[:, :, None].astype(bdt)
+    pc = (cm_c % GROUP)[:, None, :].astype(bdt)
+    base = block_base[pblock] + pr * (3 * 3 * GROUP) + pc * 3
     off = (jnp.arange(3, dtype=bdt)[:, None] * (3 * GROUP)
            + jnp.arange(3, dtype=bdt)[None, :])
     dest = base[..., None, None] + off
     flat = flat.at[dest.reshape(-1)].add(vals.reshape(-1))
     # nodal diagonal: scalar-index form (windowed row scatter measured
     # 6.6x more ns/value on this chip)
-    bdest = (iomc_c.astype(jnp.int32) * 9)[..., None] + jnp.arange(
-        9, dtype=jnp.int32)
+    bdest = (iom[cm_c] * 9)[..., None] + jnp.arange(9, dtype=jnp.int32)
     bd = bd.at[bdest.reshape(-1)].add(vdiag.reshape(-1))
     return flat, bd, dj
 
